@@ -1,0 +1,246 @@
+"""Runtime core tests: graph construction, flatten, rates, halo, state.
+
+Models the reference's tier-2 QA pattern (SURVEY.md §4): tiny graph
+vector_source -> block -> vector_sink, run, compare.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtpu import Graph, HierBlock, StreamExecutor
+from grtpu.runtime.block import Block, Port
+from grtpu.blocks.gengen import (
+    Add, AddConst, Multiply, MultiplyConst, MovingAverage, Integrate,
+    VectorSink, PackedToUnpacked, UnpackedToPacked, ChunksToSymbols,
+    UnpackKBits, PackKBits,
+)
+from grtpu.blocks.stream import (
+    Copy, Delay, Deinterleave, Interleave, KeepOneInN, Repeat,
+    StreamToVector, VectorToStream,
+)
+from grtpu.blocks.convert import ComplexToMag, FloatToComplex
+
+
+def run_chain(blocks, x, chunk=64, dtype=jnp.float32):
+    """Helper: pad-in -> chain -> pad-out executor run."""
+    g = Graph()
+    pin = g.add_input(blocks[0].in_ports[0])
+    pout = g.add_output(blocks[-1].out_ports[0])
+    g.connect(pin, *blocks, pout)
+    ex = StreamExecutor(g, chunk_size=chunk)
+    return np.asarray(ex.run(jnp.asarray(x)))
+
+
+class TestBasicGraph:
+    def test_identity_chain(self):
+        x = np.arange(128, dtype=np.float32)
+        y = run_chain([Copy(), Copy()], x)
+        np.testing.assert_array_equal(x, y)
+
+    def test_add_const_multiply(self):
+        x = np.arange(100, dtype=np.float32)
+        y = run_chain([AddConst(2.0), MultiplyConst(3.0)], x, chunk=32)
+        np.testing.assert_allclose(y, (x + 2) * 3, rtol=1e-6)
+
+    def test_two_port_add(self):
+        g = Graph()
+        p0 = g.add_input(Port(jnp.float32))
+        p1 = g.add_input(Port(jnp.float32))
+        add = Add(nin=2)
+        out = g.add_output(Port(jnp.float32))
+        g.connect(p0, (add, 0))
+        g.connect(p1, (add, 1))
+        g.connect(add, out)
+        ex = StreamExecutor(g, chunk_size=16)
+        a = np.arange(48, dtype=np.float32)
+        b = np.ones(48, dtype=np.float32)
+        y = ex.run(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(y), a + b)
+
+    def test_fanout(self):
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        c = Copy()
+        m = Multiply(nin=2)
+        out = g.add_output(Port(jnp.float32))
+        g.connect(pin, c)
+        g.connect(c, (m, 0))
+        g.connect(c, (m, 1))
+        g.connect(m, out)
+        ex = StreamExecutor(g, chunk_size=32)
+        x = np.arange(64, dtype=np.float32)
+        y = ex.run(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), x * x)
+
+    def test_sink_capture(self):
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        sink = VectorSink()
+        g.connect(pin, AddConst(1.0), sink)
+        ex = StreamExecutor(g, chunk_size=16)
+        x = np.arange(32, dtype=np.float32)
+        ex.run(jnp.asarray(x))
+        np.testing.assert_allclose(sink.data(), x + 1)
+
+    def test_type_mismatch_raises(self):
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        with pytest.raises(ValueError, match="type mismatch"):
+            g.connect(pin, ComplexToMag())
+
+
+class TestRates:
+    def test_decimation(self):
+        x = np.arange(64, dtype=np.float32)
+        y = run_chain([KeepOneInN(4)], x, chunk=16)
+        np.testing.assert_array_equal(y, x[3::4])
+
+    def test_interpolation(self):
+        x = np.arange(16, dtype=np.float32)
+        y = run_chain([Repeat(3)], x, chunk=8)
+        np.testing.assert_array_equal(y, np.repeat(x, 3))
+
+    def test_integrate(self):
+        x = np.arange(32, dtype=np.float32)
+        y = run_chain([Integrate(4)], x, chunk=16)
+        np.testing.assert_allclose(y, x.reshape(-1, 4).sum(1))
+
+    def test_vector_roundtrip(self):
+        x = np.arange(64, dtype=np.float32)
+        y = run_chain([StreamToVector(jnp.float32, 8),
+                       VectorToStream(jnp.float32, 8)], x, chunk=32)
+        np.testing.assert_array_equal(x, y)
+
+    def test_bad_chunk_divisibility(self):
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        out = g.add_output(Port(jnp.float32))
+        g.connect(pin, KeepOneInN(7), out)
+        with pytest.raises(ValueError, match="not divisible"):
+            StreamExecutor(g, chunk_size=16)
+
+
+class TestHistory:
+    def test_moving_average_cross_chunk(self):
+        """History halo must be exact across chunk boundaries."""
+        x = np.random.RandomState(0).randn(256).astype(np.float32)
+        y = run_chain([MovingAverage(10)], x, chunk=32)
+        ref = np.convolve(np.concatenate([np.zeros(9, np.float32), x]),
+                          np.ones(10, np.float32), mode="valid")
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+
+    def test_delay(self):
+        x = np.arange(40, dtype=np.float32)
+        y = run_chain([Delay(5)], x, chunk=8)
+        np.testing.assert_array_equal(y[5:], x[:-5])
+        np.testing.assert_array_equal(y[:5], np.zeros(5))
+
+
+class TestHier:
+    def test_hier_flatten(self):
+        class PlusTimes(HierBlock):
+            def __init__(self):
+                super().__init__()
+                i = self.graph.add_input(Port(jnp.float32))
+                o = self.graph.add_output(Port(jnp.float32))
+                self.graph.connect(i, AddConst(1.0), MultiplyConst(2.0), o)
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        out = g.add_output(Port(jnp.float32))
+        g.connect(pin, PlusTimes(), out)
+        ex = StreamExecutor(g, chunk_size=16)
+        x = np.arange(32, dtype=np.float32)
+        y = ex.run(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), (x + 1) * 2)
+
+    def test_nested_hier(self):
+        class Inner(HierBlock):
+            def __init__(self):
+                super().__init__()
+                i = self.graph.add_input(Port(jnp.float32))
+                o = self.graph.add_output(Port(jnp.float32))
+                self.graph.connect(i, AddConst(1.0), o)
+
+        class Outer(HierBlock):
+            def __init__(self):
+                super().__init__()
+                i = self.graph.add_input(Port(jnp.float32))
+                o = self.graph.add_output(Port(jnp.float32))
+                self.graph.connect(i, Inner(), Inner(), o)
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        out = g.add_output(Port(jnp.float32))
+        g.connect(pin, Outer(), out)
+        ex = StreamExecutor(g, chunk_size=16)
+        x = np.zeros(16, dtype=np.float32)
+        y = ex.run(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), np.full(16, 2.0))
+
+
+class TestPacking:
+    def test_packed_unpacked_roundtrip(self):
+        x = np.random.RandomState(1).randint(0, 256, 64).astype(np.uint8)
+        y = run_chain([PackedToUnpacked(1), UnpackedToPacked(1)], x, chunk=32)
+        np.testing.assert_array_equal(x, y)
+
+    def test_unpack_k_bits(self):
+        x = np.array([0b1011, 0b0001], dtype=np.uint8)
+        y = run_chain([UnpackKBits(4)], x, chunk=2)
+        np.testing.assert_array_equal(y, [1, 0, 1, 1, 0, 0, 0, 1])
+
+    def test_pack_k_bits(self):
+        x = np.array([1, 0, 1, 1, 0, 0, 0, 1], dtype=np.uint8)
+        y = run_chain([PackKBits(4)], x, chunk=8)
+        np.testing.assert_array_equal(y, [0b1011, 0b0001])
+
+    def test_chunks_to_symbols(self):
+        table = np.array([1 + 1j, -1 + 1j, -1 - 1j, 1 - 1j], np.complex64)
+        x = np.array([0, 1, 2, 3, 0], dtype=np.uint8)
+        g = Graph()
+        pin = g.add_input(Port(jnp.uint8))
+        out = g.add_output(Port(jnp.complex64))
+        g.connect(pin, ChunksToSymbols(table), out)
+        ex = StreamExecutor(g, chunk_size=5)
+        y = ex.run(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), table[x])
+
+
+class TestInterleave:
+    def test_roundtrip(self):
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        d = Deinterleave(2)
+        i = Interleave(2)
+        out = g.add_output(Port(jnp.float32))
+        g.connect(pin, d)
+        g.connect((d, 0), (i, 0))
+        g.connect((d, 1), (i, 1))
+        g.connect(i, out)
+        ex = StreamExecutor(g, chunk_size=16)
+        x = np.arange(32, dtype=np.float32)
+        y = ex.run(jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(y), x)
+
+
+class TestState:
+    def test_checkpoint_roundtrip(self, tmp_path):
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        out = g.add_output(Port(jnp.float32))
+        g.connect(pin, Delay(3), MovingAverage(5), out)
+        ex = StreamExecutor(g, chunk_size=16)
+        x = np.random.RandomState(2).randn(64).astype(np.float32)
+        ex.run(jnp.asarray(x[:32]))
+        path = str(tmp_path / "ckpt.npz")
+        ex.save_checkpoint(path)
+
+        # Continue from checkpoint in a fresh executor — outputs must match
+        # continuing the original.
+        y1 = np.asarray(ex.run(jnp.asarray(x[32:])))
+        ex2 = StreamExecutor(g, chunk_size=16)
+        ex2.load_checkpoint(path)
+        y2 = np.asarray(ex2.run(jnp.asarray(x[32:])))
+        np.testing.assert_allclose(y1, y2)
