@@ -1,0 +1,184 @@
+"""Scalar DSP primitives: rotator, NCO, quadrature discriminator, IIR.
+
+Analogs of:
+  * gr_rotator.h / gri_fxpt NCO (gnuradio-core/src/lib/general/gr_fxpt.{h,cc},
+    gr_rotator.h) — complex phase rotation and waveform synthesis.  The
+    reference uses an incremental complex recurrence with periodic
+    renormalization to stay O(1)/sample on a CPU; on TPU we synthesize the
+    whole time-block's phase ramp vectorized (exact, no drift) with a carried
+    phase scalar.
+  * gr_quadrature_demod_cf (general/gr_quadrature_demod_cf.cc:47-62) — FM
+    discriminator via conjugate product + atan2 (history = 2).
+  * gr_single_pole_iir / gr_iir_filter_ffd — recursive filters as lax.scan
+    (or closed-form parallel scan for single poles).
+  * gri_control_loop (general/gri_control_loop.cc:34-80) — 2nd-order PI
+    loop gains (used by Costas/PLL/FLL blocks in grtpu.digital).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# -------------------------------------------------------------------- rotator
+def rotate(x: jnp.ndarray, phase: jnp.ndarray, phase_inc) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multiply x by exp(j*(phase + i*phase_inc)); returns (y, new_phase).
+
+    Vectorized phase ramp — exact to f32 over a chunk, with the carried
+    phase wrapped each chunk (replaces gr_rotator's every-512-samples
+    renormalization)."""
+    n = x.shape[0]
+    ph = phase + phase_inc * jnp.arange(n, dtype=jnp.float32)
+    y = x * jnp.exp(1j * ph).astype(jnp.complex64)
+    new_phase = jnp.mod(phase + phase_inc * n, 2 * np.pi).astype(jnp.float32)
+    return y.astype(jnp.complex64), new_phase
+
+
+def nco_sin(phase, phase_inc, n: int):
+    ph = phase + phase_inc * jnp.arange(n, dtype=jnp.float32)
+    return jnp.sin(ph), jnp.mod(phase + phase_inc * n, 2 * np.pi)
+
+
+def nco_cos(phase, phase_inc, n: int):
+    ph = phase + phase_inc * jnp.arange(n, dtype=jnp.float32)
+    return jnp.cos(ph), jnp.mod(phase + phase_inc * n, 2 * np.pi)
+
+
+def nco_exp(phase, phase_inc, n: int):
+    ph = phase + phase_inc * jnp.arange(n, dtype=jnp.float32)
+    return (jnp.exp(1j * ph).astype(jnp.complex64),
+            jnp.mod(phase + phase_inc * n, 2 * np.pi))
+
+
+def vco(freq: jnp.ndarray, phase, sensitivity: float):
+    """Voltage-controlled oscillator (gr_vco_f): phase integrates the input.
+
+    Returns (cos(phi), new_phase)."""
+    dphi = sensitivity * freq
+    phi = phase + jnp.cumsum(dphi)
+    new_phase = jnp.mod(phi[-1], 2 * np.pi)
+    return jnp.cos(phi), new_phase
+
+
+# -------------------------------------------------------- quadrature demod
+def quadrature_demod(x: jnp.ndarray, gain: float) -> jnp.ndarray:
+    """FM discriminator (gr_quadrature_demod_cf.cc:47-62):
+    out[i] = gain * arg(x[i+1] * conj(x[i])).
+
+    Input carries 1 history sample (block history=2): length n+1 -> n outputs.
+    """
+    prod = x[1:] * jnp.conj(x[:-1])
+    return (gain * jnp.arctan2(jnp.imag(prod), jnp.real(prod))).astype(jnp.float32)
+
+
+def frequency_modulator(x: jnp.ndarray, phase, sensitivity: float):
+    """gr_frequency_modulator_fc: out = exp(j * cumsum(sensitivity*x)).
+
+    Returns (y, new_phase)."""
+    dphi = sensitivity * x
+    phi = phase + jnp.cumsum(dphi)
+    y = jnp.exp(1j * phi).astype(jnp.complex64)
+    return y, jnp.mod(phi[-1], 2 * np.pi).astype(jnp.float32)
+
+
+def phase_modulator(x: jnp.ndarray, sensitivity: float):
+    """gr_phase_modulator_fc: out = exp(j * sensitivity * x)."""
+    return jnp.exp(1j * sensitivity * x).astype(jnp.complex64)
+
+
+# ------------------------------------------------------------------- IIR
+def single_pole_iir(x: jnp.ndarray, state, alpha: float):
+    """y[i] = alpha*x[i] + (1-alpha)*y[i-1] (gri_single_pole_iir).
+
+    Closed-form via exponential weighting within the chunk (associative scan
+    free): y = filter implemented with lax.scan for exactness; single-pole
+    scans compile to efficient TPU loops, and alpha is typically applied at
+    audio rates where chunk sizes are modest.
+    Returns (y, new_state)."""
+    one_minus = 1.0 - alpha
+
+    def f(carry, xi):
+        y = alpha * xi + one_minus * carry
+        return y, y
+
+    new_state, y = jax.lax.scan(f, state, x)
+    return y, new_state
+
+
+def iir_filter(x: jnp.ndarray, state, fftaps, fbtaps):
+    """Direct-form-I IIR (gr_iir_filter_ffd semantics):
+    y[n] = sum_k ff[k] x[n-k] + sum_{k>=1} fb[k] y[n-k]
+    (note the reference stores feedback taps with implied positive sign).
+
+    state: (x_hist[len(ff)-1], y_hist[len(fb)-1]) most-recent-last.
+    Returns (y, new_state).  The feedforward half is computed with the MXU
+    FIR; only the feedback recurrence runs as a scan.
+    """
+    ff = jnp.asarray(fftaps, jnp.float32)
+    fb = jnp.asarray(fbtaps, jnp.float32)
+    nff, nfb = ff.shape[0], fb.shape[0]
+    x_hist, y_hist = state
+    xs = jnp.concatenate([x_hist, x]) if nff > 1 else x
+    # feedforward: correlation with reversed ff taps
+    from grtpu.ops.fir import fir_filter
+
+    v = fir_filter(xs, jnp.flip(ff), 1) if nff > 1 else x * ff[0]
+
+    if nfb <= 1:
+        y = v
+        new_y_hist = y_hist
+    else:
+        fb_r = fb[1:]  # feedback coefficients on y[n-1..]
+
+        def f(carry, vi):
+            # carry: last nfb-1 outputs, most recent last
+            y = vi + jnp.dot(jnp.flip(carry), fb_r)
+            carry = jnp.concatenate([carry[1:], y[None]])
+            return carry, y
+
+        new_y_hist, y = jax.lax.scan(f, y_hist, v)
+    new_x_hist = xs[xs.shape[0] - (nff - 1):] if nff > 1 else x_hist
+    return y, (new_x_hist, new_y_hist)
+
+
+def iir_init_state(nff: int, nfb: int):
+    return (jnp.zeros((max(nff - 1, 0),), jnp.float32),
+            jnp.zeros((max(nfb - 1, 0),), jnp.float32))
+
+
+# ------------------------------------------------------------- control loop
+def control_loop_gains(loop_bw: float, damping: float = math.sqrt(2.0) / 2.0):
+    """2nd-order PI loop alpha/beta from bandwidth & damping
+    (gri_control_loop.cc:34-46)."""
+    denom = 1.0 + 2.0 * damping * loop_bw + loop_bw * loop_bw
+    alpha = (4 * damping * loop_bw) / denom
+    beta = (4 * loop_bw * loop_bw) / denom
+    return alpha, beta
+
+
+def phase_wrap(phase):
+    """Wrap to [-pi, pi] (gri_control_loop::phase_wrap)."""
+    return jnp.mod(phase + np.pi, 2 * np.pi) - np.pi
+
+
+# ----------------------------------------------------------------- dc block
+def dc_blocker(x: jnp.ndarray, state, length: int):
+    """gr_dc_blocker_ff (default long-form): cascade of two length-D moving
+    averages subtracted with matching delay.  Simplified single-MA form:
+    y[i] = x[i - (D-1)] - MA_D(x)[i]; state carries the needed history."""
+    d = length
+    hist = state
+    xs = jnp.concatenate([hist, x])
+    c = jnp.cumsum(xs.astype(jnp.float32))
+    c = jnp.concatenate([jnp.zeros((1,), jnp.float32), c])
+    ma = (c[d:] - c[:-d]) / d  # MA over trailing window, len(xs)-d+1 values
+    n = x.shape[0]
+    delayed = xs[xs.shape[0] - n - (d - 1) // 2: xs.shape[0] - (d - 1) // 2]
+    y = delayed - ma[ma.shape[0] - n:]
+    new_hist = xs[xs.shape[0] - (d - 1) - (d - 1) // 2:]
+    return y.astype(x.dtype), new_hist

@@ -1,0 +1,288 @@
+"""Kernel-substrate golden tests: FIR / FFT-filter vs numpy/scipy references.
+
+Tier-1 analog of the reference's filter QA
+(gnuradio-core/src/lib/filter/qa_gr_fir_{ccc,ccf,fff}.cc — every kernel
+variant checked against a reference dot product; gr/qa_fft_filter.py —
+fft_filter vs fir_filter as golden on random data).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtpu.ops.fir import (
+    fir_filter, interp_fir_filter, fir_filterbank, batch_fir_filter,
+    freq_xlating_fir_filter, rotate_taps,
+)
+from grtpu.ops.fft_filter import fft_filter
+from grtpu.ops import dsp
+from grtpu.utils import firdes
+
+
+def ref_fir(x, taps, decim=1):
+    """y[i] = sum_k taps[k] x[i*decim + k] — the gr_fir contract."""
+    k = len(taps)
+    n = len(x) - (k - 1)
+    nout = n // decim
+    return np.array([np.dot(taps, x[i * decim:i * decim + k]) for i in range(nout)])
+
+
+RNG = np.random.RandomState(42)
+
+
+class TestFirFilter:
+    @pytest.mark.parametrize("k", [1, 5, 16, 63, 256])
+    @pytest.mark.parametrize("n", [4, 100, 1000])
+    def test_fff(self, k, n):
+        if n < 1:
+            return
+        x = RNG.randn(n + k - 1).astype(np.float32)
+        taps = RNG.randn(k).astype(np.float32)
+        y = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps)))
+        ref = ref_fir(x, taps)
+        np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("k", [7, 64])
+    def test_ccf(self, k):
+        n = 300
+        x = (RNG.randn(n + k - 1) + 1j * RNG.randn(n + k - 1)).astype(np.complex64)
+        taps = RNG.randn(k).astype(np.float32)
+        y = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps)))
+        np.testing.assert_allclose(y, ref_fir(x, taps), rtol=3e-4, atol=3e-4)
+
+    @pytest.mark.parametrize("k", [7, 64])
+    def test_ccc(self, k):
+        n = 300
+        x = (RNG.randn(n + k - 1) + 1j * RNG.randn(n + k - 1)).astype(np.complex64)
+        taps = (RNG.randn(k) + 1j * RNG.randn(k)).astype(np.complex64)
+        y = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps)))
+        np.testing.assert_allclose(y, ref_fir(x, taps), rtol=3e-4, atol=4e-4)
+
+    def test_fcc(self):
+        k, n = 31, 200
+        x = RNG.randn(n + k - 1).astype(np.float32)
+        taps = (RNG.randn(k) + 1j * RNG.randn(k)).astype(np.complex64)
+        y = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps)))
+        np.testing.assert_allclose(y, ref_fir(x, taps), rtol=3e-4, atol=3e-4)
+
+    @pytest.mark.parametrize("decim", [2, 3, 4, 8])
+    @pytest.mark.parametrize("k", [16, 57, 128])
+    def test_decimating(self, decim, k):
+        n = 240 * decim
+        x = RNG.randn(n + k - 1).astype(np.float32)
+        taps = RNG.randn(k).astype(np.float32)
+        y = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), decim))
+        np.testing.assert_allclose(y, ref_fir(x, taps, decim), rtol=3e-4, atol=3e-4)
+
+    def test_decimating_complex(self):
+        decim, k, n = 5, 45, 100 * 5
+        x = (RNG.randn(n + k - 1) + 1j * RNG.randn(n + k - 1)).astype(np.complex64)
+        taps = RNG.randn(k).astype(np.float32)
+        y = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), decim))
+        np.testing.assert_allclose(y, ref_fir(x, taps, decim), rtol=3e-4, atol=3e-4)
+
+
+class TestInterpFir:
+    @pytest.mark.parametrize("interp", [2, 4, 7])
+    def test_interp(self, interp):
+        k = 4 * interp + 3
+        n = 100
+        kp = -(-k // interp)
+        x = RNG.randn(n + kp - 1).astype(np.float32)
+        taps = RNG.randn(k).astype(np.float32)
+        y = np.asarray(interp_fir_filter(jnp.asarray(x), jnp.asarray(taps), interp))
+        # reference: polyphase, y[i*L + p] = sum_j taps[j*L+p] x[i+j]
+        tp = np.pad(taps, (0, kp * interp - k))
+        ref = np.zeros(n * interp, np.float32)
+        for p in range(interp):
+            hp = tp[p::interp]
+            for i in range(n):
+                ref[i * interp + p] = np.dot(hp, x[i:i + kp])
+        np.testing.assert_allclose(y, ref, rtol=3e-4, atol=3e-4)
+
+
+class TestFilterbank:
+    def test_bank(self):
+        f, k, n = 8, 33, 200
+        x = RNG.randn(n + k - 1).astype(np.float32)
+        bank = RNG.randn(f, k).astype(np.float32)
+        y = np.asarray(fir_filterbank(jnp.asarray(x), jnp.asarray(bank)))
+        assert y.shape == (f, n)
+        for i in range(f):
+            np.testing.assert_allclose(y[i], ref_fir(x, bank[i]), rtol=3e-4, atol=3e-4)
+
+    def test_batch(self):
+        c, k, n = 4, 21, 150
+        x = RNG.randn(c, n + k - 1).astype(np.float32)
+        taps = RNG.randn(k).astype(np.float32)
+        y = np.asarray(batch_fir_filter(jnp.asarray(x), jnp.asarray(taps)))
+        for i in range(c):
+            np.testing.assert_allclose(y[i], ref_fir(x[i], taps), rtol=3e-4, atol=3e-4)
+
+
+class TestFftFilter:
+    """fft_filter must match fir_filter exactly (gr/qa_fft_filter.py idiom)."""
+
+    @pytest.mark.parametrize("k", [9, 64, 200, 301])
+    def test_vs_fir_fff(self, k):
+        n = 1000
+        x = RNG.randn(n + k - 1).astype(np.float32)
+        taps = RNG.randn(k).astype(np.float32)
+        a = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps)))
+        b = np.asarray(fft_filter(jnp.asarray(x), jnp.asarray(taps)))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    def test_vs_fir_ccc_decim(self):
+        k, d, n = 55, 4, 600 * 4
+        x = (RNG.randn(n + k - 1) + 1j * RNG.randn(n + k - 1)).astype(np.complex64)
+        taps = (RNG.randn(k) + 1j * RNG.randn(k)).astype(np.complex64)
+        a = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), d))
+        b = np.asarray(fft_filter(jnp.asarray(x), jnp.asarray(taps), d))
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+
+class TestFreqXlating:
+    def test_rotated_output(self):
+        """Translated filter == rotate input to baseband, then filter.
+
+        Matches gr_freq_xlating_fir_filter semantics: taps pre-rotated,
+        output spun by the rotator at decim*phase_inc per output."""
+        fs, fc = 8000.0, 1000.0
+        k, d, n = 64, 4, 512
+        proto = firdes.low_pass(1.0, fs, 500, 500, firdes.Window.HAMMING)
+        proto = proto[:k] if len(proto) > k else proto
+        kk = len(proto)
+        x = (RNG.randn(n + kk - 1) + 1j * RNG.randn(n + kk - 1)).astype(np.complex64)
+        rtaps = rotate_taps(proto, fc, fs)
+        phase_inc = -2 * np.pi * fc / fs
+        y, _ = freq_xlating_fir_filter(
+            jnp.asarray(x), jnp.asarray(rtaps), jnp.float32(0.0), phase_inc, d)
+        # reference: y[i] = exp(j*phase_inc*d*i) * sum_k rtaps[k] x[i*d+k]
+        base = ref_fir(x, rtaps, d)
+        rot = np.exp(1j * phase_inc * d * np.arange(len(base)))
+        np.testing.assert_allclose(np.asarray(y), base * rot, rtol=2e-3, atol=2e-3)
+
+
+class TestFirdes:
+    def test_low_pass_response(self):
+        import scipy.signal as sig
+        taps = firdes.low_pass(1.0, 48000, 5000, 1000)
+        w, h = sig.freqz(taps, fs=48000)
+        mag = np.abs(h)
+        assert abs(mag[0] - 1.0) < 0.01          # unity DC gain
+        assert mag[w < 4000].min() > 0.95         # passband flat
+        assert mag[w > 6500].max() < 0.02         # stopband down
+        assert len(taps) % 2 == 1
+
+    def test_high_pass_response(self):
+        import scipy.signal as sig
+        taps = firdes.high_pass(1.0, 48000, 10000, 2000)
+        w, h = sig.freqz(taps, fs=48000)
+        mag = np.abs(h)
+        assert mag[w < 8000].max() < 0.05
+        assert mag[w > 12000].min() > 0.95
+
+    def test_band_pass_response(self):
+        import scipy.signal as sig
+        taps = firdes.band_pass(1.0, 48000, 5000, 10000, 1000)
+        w, h = sig.freqz(taps, fs=48000)
+        mag = np.abs(h)
+        inband = (w > 6000) & (w < 9000)
+        assert mag[inband].min() > 0.9
+        assert mag[w < 3500].max() < 0.05
+        assert mag[w > 11500].max() < 0.05
+
+    def test_complex_band_pass(self):
+        import scipy.signal as sig
+        taps = firdes.complex_band_pass(1.0, 48000, 2000, 6000, 1000)
+        w, h = sig.freqz(taps, fs=48000, whole=True)
+        w = np.where(w > 24000, w - 48000, w)
+        mag = np.abs(h)
+        assert mag[(w > 3000) & (w < 5000)].min() > 0.9
+        assert mag[(w < 0)].max() < 0.05  # negative freqs rejected
+
+    def test_rrc_matched_pair(self):
+        """RRC * RRC == raised cosine: zero ISI at symbol spacing."""
+        spb = 4
+        taps = firdes.root_raised_cosine(1.0, spb, 1.0, 0.35, 11 * spb)
+        rc = np.convolve(taps, taps)
+        center = len(rc) // 2
+        sym = rc[center::spb][1:6] / rc[center]
+        assert np.all(np.abs(sym) < 0.02)
+
+    def test_gaussian_unit_sum(self):
+        taps = firdes.gaussian(1.0, 4, 0.35, 16)
+        assert abs(taps.sum() - 1.0) < 1e-5
+
+    def test_hilbert(self):
+        import scipy.signal as sig
+        taps = firdes.hilbert(63, firdes.Window.HAMMING)
+        w, h = sig.freqz(taps, fs=2.0)
+        mag = np.abs(h)
+        band = (w > 0.15) & (w < 0.85)
+        np.testing.assert_allclose(mag[band], 1.0, atol=0.05)
+
+    def test_kaiser_window(self):
+        w = firdes.window(firdes.Window.KAISER, 65, beta=8.0)
+        ref = np.kaiser(65, 8.0)
+        np.testing.assert_allclose(w, ref, atol=1e-6)
+
+
+class TestDsp:
+    def test_quadrature_demod(self):
+        """Pure tone -> constant frequency output (reference contract:
+        out = gain * angle diff)."""
+        fs, f = 8000.0, 440.0
+        n = 256
+        t = np.arange(n + 1)
+        x = np.exp(2j * np.pi * f / fs * t).astype(np.complex64)
+        gain = 1.0
+        y = np.asarray(dsp.quadrature_demod(jnp.asarray(x), gain))
+        np.testing.assert_allclose(y, 2 * np.pi * f / fs, rtol=1e-3)
+
+    def test_rotate_continuity(self):
+        """Rotator phase must be continuous across chunks."""
+        inc = 0.123
+        x = np.ones(100, np.complex64)
+        y1, ph = dsp.rotate(jnp.asarray(x[:50]), jnp.float32(0.0), inc)
+        y2, _ = dsp.rotate(jnp.asarray(x[50:]), ph, inc)
+        y = np.concatenate([np.asarray(y1), np.asarray(y2)])
+        ref = np.exp(1j * inc * np.arange(100))
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+
+    def test_frequency_modulator_roundtrip(self):
+        """FM mod -> quadrature demod recovers the message."""
+        n = 512
+        msg = np.sin(2 * np.pi * 5 * np.arange(n + 1) / n).astype(np.float32)
+        sens = 0.5
+        y, _ = dsp.frequency_modulator(jnp.asarray(msg), jnp.float32(0.0), sens)
+        rec = np.asarray(dsp.quadrature_demod(y, 1.0 / sens))
+        np.testing.assert_allclose(rec, msg[1:], atol=1e-3)
+
+    def test_single_pole_iir(self):
+        alpha = 0.1
+        x = RNG.randn(200).astype(np.float32)
+        y, st = dsp.single_pole_iir(jnp.asarray(x), jnp.float32(0.0), alpha)
+        ref = np.zeros(200)
+        acc = 0.0
+        for i, v in enumerate(x):
+            acc = alpha * v + (1 - alpha) * acc
+            ref[i] = acc
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-5)
+        assert abs(float(st) - ref[-1]) < 1e-5
+
+    def test_iir_filter_vs_scipy(self):
+        import scipy.signal as sig
+        # de-emphasis-style single pole written as general IIR
+        b = np.array([0.2, 0.1], np.float32)
+        a_fb = np.array([1.0, 0.6], np.float32)  # reference sign: y += 0.6*y[n-1]
+        x = RNG.randn(300).astype(np.float32)
+        state = dsp.iir_init_state(len(b), len(a_fb))
+        y, _ = dsp.iir_filter(jnp.asarray(x), state, b, a_fb)
+        # scipy uses y[n] = sum b x - sum a y  => a = [1, -0.6]
+        ref = sig.lfilter(b, [1.0, -0.6], x)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-3, atol=1e-4)
+
+    def test_control_loop_gains(self):
+        a, b = dsp.control_loop_gains(0.1)
+        assert 0 < b < a < 1
