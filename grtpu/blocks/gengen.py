@@ -96,13 +96,13 @@ class AddConst(Block):
         self.in_ports = (Port(dtype, vlen),)
         self.out_ports = (Port(dtype, vlen),)
         super().__init__(name)
-        self.k = jnp.asarray(k, dtype)
+        self.k = np.dtype(dtype).type(k)
 
     def apply(self, state, x):
         return state, x + self.k
 
     def set_k(self, k):
-        self.k = jnp.asarray(k, self.in_ports[0].dtype)
+        self.k = np.dtype(self.in_ports[0].dtype).type(k)
 
 
 class MultiplyConst(Block):
@@ -110,13 +110,13 @@ class MultiplyConst(Block):
         self.in_ports = (Port(dtype, vlen),)
         self.out_ports = (Port(dtype, vlen),)
         super().__init__(name)
-        self.k = jnp.asarray(k, dtype)
+        self.k = np.dtype(dtype).type(k)
 
     def apply(self, state, x):
         return state, x * self.k
 
     def set_k(self, k):
-        self.k = jnp.asarray(k, self.in_ports[0].dtype)
+        self.k = np.dtype(self.in_ports[0].dtype).type(k)
 
 
 class AndConst(Block):
@@ -127,7 +127,7 @@ class AndConst(Block):
         self.k = int(k)
 
     def apply(self, state, x):
-        return state, x & jnp.asarray(self.k, x.dtype)
+        return state, x & np.dtype(x.dtype).type(self.k)
 
 
 # ----------------------------------------------------------------- stateful
@@ -290,7 +290,7 @@ class VectorSource(Block):
         super().__init__(name)
         if vlen > 1:
             arr = arr.reshape(-1, vlen)
-        self.data = jnp.asarray(arr)
+        self.data = arr
         self.repeat = repeat
 
     def init_state(self):
@@ -299,13 +299,13 @@ class VectorSource(Block):
     def apply(self, state, n: int):
         m = self.data.shape[0]
         idx = (state + jnp.arange(n)) % m
-        y = self.data[idx]
+        y = jnp.asarray(self.data)[idx]
         if not self.repeat:
             # past-the-end samples are zeroed (finite runs use gr_head/run())
             mask = (state + jnp.arange(n)) < m
             shape = (n,) + (1,) * (y.ndim - 1)
             y = y * mask.reshape(shape).astype(y.dtype)
-        return (state + n) % jnp.asarray(m, jnp.int32) if self.repeat else state + n, y
+        return (state + n) % np.int32(m) if self.repeat else state + n, y
 
 
 class NullSource(Block):
@@ -419,14 +419,15 @@ class ChunksToSymbols(Block):
         self.out_ports = (Port(out_dtype),)
         self.interp = dimension
         super().__init__(name)
-        self.table = jnp.asarray(np.asarray(symbol_table), out_dtype)
+        self.table = np.asarray(np.asarray(symbol_table), out_dtype)
         self.dimension = dimension
 
     def apply(self, state, x):
         idx = x.astype(jnp.int32)
+        table = jnp.asarray(self.table)
         if self.dimension == 1:
-            return state, self.table[idx]
-        t = self.table.reshape(-1, self.dimension)
+            return state, table[idx]
+        t = table.reshape(-1, self.dimension)
         return state, t[idx].reshape(-1)
 
 
@@ -509,10 +510,10 @@ class MapBB(Block):
         self.in_ports = (Port(jnp.uint8),)
         self.out_ports = (Port(jnp.uint8),)
         super().__init__(name)
-        self.table = jnp.asarray(np.asarray(table, np.uint8))
+        self.table = np.asarray(table, np.uint8)
 
     def apply(self, state, x):
-        return state, self.table[x.astype(jnp.int32)]
+        return state, jnp.asarray(self.table)[x.astype(jnp.int32)]
 
 
 # ---------------------------------------------------------- suffix aliases

@@ -1,0 +1,3 @@
+from grtpu.models.fm import (
+    AmDemod, FmDeemph, FmPreemph, NbfmRx, NbfmTx, WfmRcv, WfmTx,
+)

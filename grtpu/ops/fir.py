@@ -82,8 +82,22 @@ def _window_matrix(x: jnp.ndarray, k: int, block: int) -> jnp.ndarray:
     return w[:, :ncols]
 
 
+# f32 matmul precision: XLA's TPU default lowers f32 dots to single-pass
+# bf16 on the MXU (measured ~2.8 max rel err on 256-tap dots — unusable for
+# SNR-bound DSP).  HIGHEST requests full f32-equivalent multi-pass MXU
+# accumulation (~2.7e-4 max rel err).  Overridable for throughput studies.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_precision(p):
+    """Set matmul precision for all FIR kernels ('highest'|'default'|...)."""
+    global _PRECISION
+    _PRECISION = p
+
+
 def _real_matmul(w, t, preferred=jnp.float32):
-    return jnp.dot(w, t, preferred_element_type=preferred)
+    return jnp.dot(w, t, preferred_element_type=preferred,
+                   precision=_PRECISION)
 
 
 def _matmul(w, t):
