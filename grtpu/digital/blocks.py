@@ -1,0 +1,181 @@
+"""Digital block wrappers for the graph runtime.
+
+Static-rate wrappers over grtpu.digital.loops: CostasLoop, FllBandEdge,
+BinarySlicer, DiffEncoder/DiffDecoder/DiffPhasor, ConstellationDecoder.
+Variable-rate clock recovery is exposed through grtpu.digital.modems
+(mask-and-compact) rather than as a stream block — SURVEY.md §7 hard part #2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from grtpu.runtime.block import Block, Port
+from grtpu.digital import loops
+from grtpu.digital.constellation import Constellation
+
+
+class CostasLoop(Block):
+    """digital_costas_loop_cc."""
+
+    def __init__(self, loop_bw: float, order: int, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        super().__init__(name)
+        self.loop_bw, self.order = loop_bw, order
+
+    def init_state(self):
+        return loops.costas_init_state()
+
+    def apply(self, state, x):
+        y, st = loops.costas_loop(x, state, self.loop_bw, self.order)
+        return st, y
+
+
+class FllBandEdge(Block):
+    """digital_fll_band_edge_cc."""
+
+    def __init__(self, samps_per_sym: float, rolloff: float,
+                 filter_size: int, loop_bw: float, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        self.history = filter_size
+        super().__init__(name)
+        self.sps, self.rolloff = samps_per_sym, rolloff
+        self.filter_size, self.loop_bw = filter_size, loop_bw
+
+    def init_state(self):
+        return loops.fll_init_state()
+
+    def apply(self, state, x):
+        y, st = loops.fll_band_edge(x, state, self.sps, self.rolloff,
+                                    self.filter_size, self.loop_bw)
+        return st, y
+
+
+class BinarySlicer(Block):
+    """digital_binary_slicer_fb."""
+
+    def __init__(self, name=None):
+        self.in_ports = (Port(jnp.float32),)
+        self.out_ports = (Port(jnp.uint8),)
+        super().__init__(name)
+
+    def apply(self, state, x):
+        return state, loops.binary_slicer(x)
+
+
+class FourLevelSlicer(Block):
+    """4FSK dibit slicer: frequency level -> dibit (DMR convention)."""
+
+    def __init__(self, scale: float = 1.0, name=None):
+        self.in_ports = (Port(jnp.float32),)
+        self.out_ports = (Port(jnp.uint8),)
+        super().__init__(name)
+        self.scale = scale
+
+    def apply(self, state, x):
+        v = x * self.scale  # nominal levels -3,-1,+1,+3
+        sym = jnp.where(v > 2, 0b01,
+                        jnp.where(v > 0, 0b00,
+                                  jnp.where(v > -2, 0b10, 0b11)))
+        return state, sym.astype(jnp.uint8)
+
+
+class DiffEncoder(Block):
+    """gr_diff_encoder_bb."""
+
+    def __init__(self, modulus: int, name=None):
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = (Port(jnp.uint8),)
+        super().__init__(name)
+        self.modulus = modulus
+
+    def init_state(self):
+        return jnp.zeros((), jnp.uint8)
+
+    def apply(self, state, x):
+        y, st = loops.diff_encode(x, state, self.modulus)
+        return st, y
+
+
+class DiffDecoder(Block):
+    """gr_diff_decoder_bb."""
+
+    def __init__(self, modulus: int, name=None):
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = (Port(jnp.uint8),)
+        super().__init__(name)
+        self.modulus = modulus
+
+    def init_state(self):
+        return jnp.zeros((), jnp.uint8)
+
+    def apply(self, state, x):
+        y, st = loops.diff_decode(x, state, self.modulus)
+        return st, y
+
+
+class DiffPhasor(Block):
+    """gr_diff_phasor_cc."""
+
+    def __init__(self, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        super().__init__(name)
+
+    def init_state(self):
+        return jnp.ones((), jnp.complex64)
+
+    def apply(self, state, x):
+        y, st = loops.diff_phasor(x, state)
+        return st, y
+
+
+class ConstellationDecoder(Block):
+    """digital_constellation_decoder_cb: hard decisions, no loop."""
+
+    def __init__(self, constellation: Constellation, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.uint8),)
+        super().__init__(name)
+        self.constellation = constellation
+
+    def apply(self, state, x):
+        return state, self.constellation.decision_maker(x).astype(jnp.uint8)
+
+
+class ConstellationReceiver(Block):
+    """digital_constellation_receiver_cb: loop + decisions (symbol out)."""
+
+    def __init__(self, constellation: Constellation, loop_bw: float,
+                 name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.uint8),)
+        super().__init__(name)
+        self.constellation = constellation
+        self.loop_bw = loop_bw
+
+    def init_state(self):
+        return loops.costas_init_state()
+
+    def apply(self, state, x):
+        syms, _, st = loops.constellation_receiver(
+            x, state, self.constellation, self.loop_bw)
+        return st, syms.astype(jnp.uint8)
+
+
+class BytesToSyms(Block):
+    """gr_bytes_to_syms: byte -> 8 NRZ float symbols (+1/-1), MSB first."""
+
+    def __init__(self, name=None):
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = (Port(jnp.float32),)
+        self.interp = 8
+        super().__init__(name)
+
+    def apply(self, state, x):
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+        bits = (x[:, None].astype(jnp.int32) >> shifts[None, :]) & 1
+        return state, (bits.reshape(-1) * 2 - 1).astype(jnp.float32)

@@ -1,0 +1,308 @@
+"""Digital synchronization loops as scan recurrences.
+
+Analogs:
+  * digital_costas_loop_cc (gr-digital/lib/digital_costas_loop_cc.cc:70-108):
+    2nd/4th/8th-order carrier recovery on gri_control_loop.
+  * digital_clock_recovery_mm_{ff,cc}
+    (gr-digital/lib/digital_clock_recovery_mm_cc.cc:116-217): Mueller &
+    Müller timing recovery with MMSE fractional interpolation and variable
+    consumption.
+  * digital_fll_band_edge_cc (lib/digital_fll_band_edge_cc.cc): frequency-
+    locked loop on band-edge filter power difference.
+  * digital_constellation_receiver_cb (lib/digital_constellation_receiver_cb.cc):
+    control-loop NCO derotation + decision-directed phase error.
+  * digital_binary_slicer_fb.
+
+SURVEY.md §7 "hard parts" #1/#2: these are inherently sequential per-sample
+feedback loops with (for clock recovery) data-dependent consumption.  Design:
+``lax.scan`` over the time-block with explicit state; clock recovery scans
+over *output symbol slots* with a dynamically-gathered 8-sample window per
+slot and returns (y_padded, n_valid) — the mask-and-compact idiom.
+Parallelism across channels (vmap/shard) rather than across time.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grtpu.ops import dsp
+from grtpu.ops.mmse_interp import NSTEPS, NTAPS, mmse_taps
+
+
+# ------------------------------------------------------------------ costas
+def costas_phase_detector(order: int):
+    """Order-specific phase detectors (digital_costas_loop_cc.cc:70-108)."""
+    if order == 2:
+        def det(s):
+            return jnp.real(s) * jnp.imag(s)
+    elif order == 4:
+        def det(s):
+            return (jnp.where(jnp.real(s) > 0, 1.0, -1.0) * jnp.imag(s)
+                    - jnp.where(jnp.imag(s) > 0, 1.0, -1.0) * jnp.real(s))
+    elif order == 8:
+        K = math.sqrt(2.0) - 1.0
+
+        def det(s):
+            re, im = jnp.real(s), jnp.imag(s)
+            cond = jnp.abs(re) >= jnp.abs(im)
+            e1 = (jnp.where(re > 0, 1.0, -1.0) * im
+                  - jnp.where(im > 0, 1.0, -1.0) * re * K)
+            e2 = (jnp.where(re > 0, 1.0, -1.0) * im * K
+                  - jnp.where(im > 0, 1.0, -1.0) * re)
+            return jnp.where(cond, e1, e2)
+    else:
+        raise ValueError("costas order must be 2, 4 or 8")
+    return det
+
+
+def costas_loop(x: jnp.ndarray, state, loop_bw: float, order: int):
+    """Carrier-tracking derotation.  state = (phase, freq).
+
+    Returns (y, (phase, freq))."""
+    alpha, beta = dsp.control_loop_gains(loop_bw)
+    det = costas_phase_detector(order)
+
+    def f(carry, xi):
+        phase, freq = carry
+        nco = jnp.exp(-1j * phase).astype(jnp.complex64)
+        y = xi * nco
+        err = jnp.clip(det(y), -1.0, 1.0)
+        freq = freq + beta * err
+        phase = dsp.phase_wrap(phase + freq + alpha * err)
+        return (phase, freq), y
+
+    return _swap(jax.lax.scan(f, state, x))
+
+
+def costas_init_state():
+    return (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+
+
+def _swap(t):
+    carry, y = t
+    return y, carry
+
+
+# ------------------------------------------------------- clock recovery M&M
+class MMState(NamedTuple):
+    mu: jnp.ndarray          # fractional interpolation phase [0,1)
+    omega: jnp.ndarray       # samples per symbol estimate
+    base: jnp.ndarray        # float sample pointer into the stream
+    last_sample: jnp.ndarray  # previous symbol decision input
+
+
+def mm_init_state(omega: float, mu: float = 0.5, complex_mode=False):
+    z = jnp.zeros((), jnp.complex64) if complex_mode else jnp.zeros((), jnp.float32)
+    return MMState(jnp.asarray(mu, jnp.float32), jnp.asarray(omega, jnp.float32),
+                   jnp.zeros((), jnp.float32), z)
+
+
+def clock_recovery_mm_ff(
+    x: jnp.ndarray, state: MMState, omega_nominal: float,
+    gain_omega: float, gain_mu: float, omega_relative_limit: float = 0.001,
+) -> Tuple[jnp.ndarray, jnp.ndarray, MMState]:
+    """M&M timing recovery, float streams
+    (digital_clock_recovery_mm_ff.cc general_work).
+
+    x: n_in + lookahead samples (the block supplies NTAPS+omega slack).
+    Returns (y_padded, n_valid, new_state): up to max_out symbols, a count
+    of valid ones, and the carried state with ``base`` re-zeroed against the
+    consumed prefix (n_valid*omega ~ consumed samples).
+    """
+    n_in = x.shape[0]
+    max_out = int(np.ceil(n_in / max(omega_nominal * (1 - omega_relative_limit), 1.0)))
+    bank = jnp.asarray(mmse_taps())
+    om_lim = omega_nominal * omega_relative_limit
+
+    def slicer(v):
+        return jnp.where(v > 0, 1.0, -1.0)
+
+    def f(carry, _):
+        st = carry
+        # gather 8-sample window at floor(base)+[0..7], interpolate at mu
+        ip = jnp.floor(st.base).astype(jnp.int32)
+        win = jax.lax.dynamic_slice_in_dim(x, jnp.clip(ip, 0, n_in - NTAPS), NTAPS)
+        phase = jnp.round(st.mu * NSTEPS).astype(jnp.int32)
+        samp = (win * bank[phase]).sum()
+        err = slicer(st.last_sample) * samp - slicer(samp) * st.last_sample
+        omega = st.omega + gain_omega * err
+        omega = jnp.clip(omega, omega_nominal - om_lim, omega_nominal + om_lim)
+        step = st.mu + omega + gain_mu * err
+        newbase = st.base + jnp.floor(step)
+        mu = step - jnp.floor(step)
+        valid = newbase + NTAPS <= n_in
+        new = MMState(mu, omega, newbase, samp)
+        # freeze state once past the end (masked slots don't advance)
+        out_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid, a, b), new, st)
+        return out_state, (samp, valid)
+
+    final, (ys, valids) = jax.lax.scan(f, state, None, length=max_out)
+    n_valid = valids.sum().astype(jnp.int32)
+    # re-base pointer for the next chunk: the caller consumes n_in samples
+    # minus the unconsumed tail (base beyond it stays as carryover)
+    return ys, n_valid, final
+
+
+def clock_recovery_mm_cc(
+    x: jnp.ndarray, state: MMState, omega_nominal: float,
+    gain_omega: float, gain_mu: float, omega_relative_limit: float = 0.001,
+) -> Tuple[jnp.ndarray, jnp.ndarray, MMState]:
+    """M&M timing recovery on complex streams
+    (digital_clock_recovery_mm_cc.cc:116-217: error from real/imag slicer
+    cross products)."""
+    n_in = x.shape[0]
+    max_out = int(np.ceil(n_in / max(omega_nominal * (1 - omega_relative_limit), 1.0)))
+    bank = jnp.asarray(mmse_taps())
+    om_lim = omega_nominal * omega_relative_limit
+
+    def slc(v):
+        return jnp.where(jnp.real(v) > 0, 1.0, -1.0) + 1j * jnp.where(
+            jnp.imag(v) > 0, 1.0, -1.0)
+
+    def f(carry, _):
+        st = carry
+        ip = jnp.floor(st.base).astype(jnp.int32)
+        win = jax.lax.dynamic_slice_in_dim(x, jnp.clip(ip, 0, n_in - NTAPS), NTAPS)
+        phase = jnp.round(st.mu * NSTEPS).astype(jnp.int32)
+        samp = (win * bank[phase]).sum()
+        u = slc(st.last_sample) * samp - slc(samp) * st.last_sample
+        err = jnp.clip(jnp.real(u), -1.0, 1.0)
+        omega = st.omega + gain_omega * err
+        omega = jnp.clip(omega, omega_nominal - om_lim, omega_nominal + om_lim)
+        step = st.mu + omega + gain_mu * err
+        newbase = st.base + jnp.floor(step)
+        mu = step - jnp.floor(step)
+        valid = newbase + NTAPS <= n_in
+        new = MMState(mu, omega, newbase, samp)
+        out_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid, a, b), new, st)
+        return out_state, (samp, valid)
+
+    final, (ys, valids) = jax.lax.scan(f, state, None, length=max_out)
+    return ys, valids.sum().astype(jnp.int32), final
+
+
+def rebase_mm_state(state: MMState, consumed: int) -> MMState:
+    """Shift the sample pointer after the caller drops ``consumed`` input
+    samples (chunk advance)."""
+    return state._replace(base=state.base - consumed)
+
+
+# -------------------------------------------------------------- binary slicer
+def binary_slicer(x: jnp.ndarray) -> jnp.ndarray:
+    """digital_binary_slicer_fb: >= 0 -> 1 else 0."""
+    return (x >= 0).astype(jnp.uint8)
+
+
+# ------------------------------------------------------------- FLL band edge
+def band_edge_taps(samps_per_sym: float, rolloff: float, filter_size: int):
+    """Band-edge filter pair (digital_fll_band_edge_cc::design_filter):
+    derivative-of-RRC band-edge responses centered at +/- (1+rolloff)/2T."""
+    M = filter_size
+    power = 0.0
+    bb_taps = []
+    for i in range(M):
+        k = -M / 2 + i
+        t = np.sinc(2 * rolloff * k / samps_per_sym - 0.5) + \
+            np.sinc(2 * rolloff * k / samps_per_sym + 0.5)
+        power += t * t
+        bb_taps.append(t)
+    bb = np.asarray(bb_taps) / np.sqrt(power)
+    n = np.arange(M) - (M - 1.0) / 2.0
+    fc = (1.0 + rolloff) / (2.0 * samps_per_sym)  # cycles/sample
+    upper = bb * np.exp(2j * np.pi * fc * n)
+    lower = bb * np.exp(-2j * np.pi * fc * n)
+    return (upper.astype(np.complex64)[::-1], lower.astype(np.complex64)[::-1])
+
+
+def fll_band_edge(x: jnp.ndarray, state, samps_per_sym: float,
+                  rolloff: float, filter_size: int, loop_bw: float):
+    """FLL: rotate by NCO, filter with band-edge pair, freq error =
+    |upper|^2 - |lower|^2, update 2nd-order loop.  state = (phase, freq).
+
+    Sequential scan with an 8..filter_size-sample dot per step (the filters
+    must see the *rotated* signal — true feedback).  Input carries
+    filter_size-1 history samples.
+    """
+    alpha, beta = dsp.control_loop_gains(loop_bw)
+    up, lo = band_edge_taps(samps_per_sym, rolloff, filter_size)
+    upj, loj = jnp.asarray(up), jnp.asarray(lo)
+    K = filter_size
+    n = x.shape[0] - (K - 1)
+    fmax = 2 * np.pi / samps_per_sym  # limits like the reference
+
+    def f(carry, i):
+        phase, freq = carry
+        win = jax.lax.dynamic_slice_in_dim(x, i, K)
+        # rotate window by the *current* NCO ramp ending at this sample
+        ph = phase + freq * (jnp.arange(K, dtype=jnp.float32) - (K - 1))
+        rwin = win * jnp.exp(-1j * ph)
+        out_u = (rwin * upj).sum()
+        out_l = (rwin * loj).sum()
+        err = (jnp.real(out_u) ** 2 + jnp.imag(out_u) ** 2
+               - jnp.real(out_l) ** 2 - jnp.imag(out_l) ** 2)
+        err = jnp.clip(err, -1.0, 1.0)
+        freq2 = jnp.clip(freq + beta * err, -fmax, fmax)
+        phase2 = dsp.phase_wrap(phase + freq2 + alpha * err)
+        y = win[K - 1] * jnp.exp(-1j * phase)
+        return (phase2, freq2), y.astype(jnp.complex64)
+
+    (phase, freq), y = jax.lax.scan(f, state, jnp.arange(n))
+    return y, (phase, freq)
+
+
+def fll_init_state():
+    return (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+
+
+# ------------------------------------------------- constellation receiver
+def constellation_receiver(x: jnp.ndarray, state, constellation,
+                           loop_bw: float):
+    """digital_constellation_receiver_cb: NCO derotation with decision-
+    directed phase error from the constellation.  Returns (symbols, y, state).
+    """
+    alpha, beta = dsp.control_loop_gains(loop_bw)
+    pts = jnp.asarray(constellation.points)
+
+    def f(carry, xi):
+        phase, freq = carry
+        y = xi * jnp.exp(-1j * phase).astype(jnp.complex64)
+        d2 = jnp.abs(y - pts) ** 2
+        sym = jnp.argmin(d2).astype(jnp.int32)
+        ref = pts[sym]
+        e = y * jnp.conj(ref)
+        err = jnp.arctan2(jnp.imag(e), jnp.real(e))
+        freq = freq + beta * err
+        phase = dsp.phase_wrap(phase + freq + alpha * err)
+        return (phase, freq), (sym, y)
+
+    carry, (syms, ys) = jax.lax.scan(f, state, x)
+    return syms, ys, carry
+
+
+# ------------------------------------------------------------- differential
+def diff_encode(x: jnp.ndarray, state, modulus: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """gr_diff_encoder_bb: y[i] = (x[i] + y[i-1]) % M — a prefix scan.
+
+    Associative over (Z_M, +): computed with cumsum (parallel, O(n))."""
+    c = (jnp.cumsum(x.astype(jnp.int32)) + state.astype(jnp.int32)) % modulus
+    return c.astype(x.dtype), c[-1].astype(x.dtype)
+
+
+def diff_decode(x: jnp.ndarray, state, modulus: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """gr_diff_decoder_bb: y[i] = (x[i] - x[i-1]) % M (state = previous)."""
+    prev = jnp.concatenate([state[None].astype(x.dtype), x[:-1]])
+    y = (x.astype(jnp.int32) - prev.astype(jnp.int32)) % modulus
+    return y.astype(x.dtype), x[-1]
+
+
+def diff_phasor(x: jnp.ndarray, state) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """gr_diff_phasor_cc: y[i] = x[i] * conj(x[i-1])."""
+    prev = jnp.concatenate([state[None], x[:-1]])
+    return (x * jnp.conj(prev)).astype(jnp.complex64), x[-1]

@@ -127,7 +127,7 @@ def iir_filter(x: jnp.ndarray, state, fftaps, fbtaps):
     # feedforward: correlation with reversed ff taps
     from grtpu.ops.fir import fir_filter
 
-    v = fir_filter(xs, jnp.flip(ff), 1) if nff > 1 else x * ff[0]
+    v = fir_filter(xs, ff, 1) if nff > 1 else x * ff[0]
 
     if nfb <= 1:
         y = v

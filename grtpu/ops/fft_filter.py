@@ -8,9 +8,9 @@ given the executor-managed history halo — the carried "tail" becomes the same
 K-1-sample halo every FIR block already receives, so fir_filter and
 fft_filter are drop-in interchangeable per chunk.
 
-Contract matches grtpu.ops.fir.fir_filter exactly (correlation form):
+Contract matches grtpu.ops.fir.fir_filter exactly (convolution form):
 input length n + K - 1 -> output length n // decim,
-y[i] = sum_k taps[k] * x[i*decim + k].
+y[i] = sum_k taps[k] * x[i*decim + K - 1 - k].
 
 On TPU the batched FFTs map to XLA's native FFT; for K >= ~64 this path does
 ~(10 log2 F)/K of the matmul path's FLOPs but runs on the VPU rather than
@@ -31,7 +31,8 @@ def _next_pow2(n: int) -> int:
 
 def fft_filter(x: jnp.ndarray, taps: jnp.ndarray, decim: int = 1,
                fftsize: int | None = None) -> jnp.ndarray:
-    """Overlap-save fast correlation; see module docstring for the contract."""
+    """Overlap-save fast convolution; see module docstring for the contract."""
+    taps = jnp.asarray(taps)
     k = taps.shape[0]
     n = x.shape[0] - (k - 1)
     if n <= 0:
@@ -51,9 +52,7 @@ def fft_filter(x: jnp.ndarray, taps: jnp.ndarray, decim: int = 1,
     segs = xp[idx]  # (nseg, fftsize) — strided gather, fused by XLA
 
     complex_in = jnp.iscomplexobj(x) or jnp.iscomplexobj(taps)
-    # correlation == convolution with reversed taps
-    h = jnp.flip(taps)
-    hp = jnp.pad(h, (0, fftsize - k)).astype(jnp.complex64)
+    hp = jnp.pad(taps, (0, fftsize - k)).astype(jnp.complex64)
     H = jnp.fft.fft(hp)
     X = jnp.fft.fft(segs.astype(jnp.complex64), axis=1)
     Y = jnp.fft.ifft(X * H[None, :], axis=1)

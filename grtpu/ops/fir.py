@@ -26,10 +26,11 @@ Decimation and interpolation use polyphase decompositions that fold into the
 same single matmul (contraction-axis / output-axis concatenation).
 
 Sample-exact semantics: inputs carry their own history (halo) — an input of
-length ``n + K - 1`` yields exactly ``n // decim`` outputs, aligned so output
-i is the dot of taps with x[i*decim : i*decim + K] (matching the reference's
-gr_fir_XXX::filterNdec contract, with taps stored in gr's reversed
-convolution order handled by the caller/firdes).
+length ``n + K - 1`` yields exactly ``n // decim`` outputs, in CONVOLUTION
+orientation: ``y[i] = sum_k taps[k] * x[i*decim + K - 1 - k]`` (the standard
+FIR difference equation, and the user-facing semantic of gr_fir_filter_XXX —
+the reference reverses taps internally at set_taps time; here the reversal
+happens once at the op entry before the Toeplitz build).
 
 Complex support is by explicit real decomposition (2 matmuls for complex
 input x real taps, 3-4 for complex x complex), keeping everything on the MXU
@@ -127,15 +128,17 @@ def _out_dtype(x_dtype, taps_dtype):
 
 # --------------------------------------------------------------------- direct
 def fir_filter(x: jnp.ndarray, taps: jnp.ndarray, decim: int = 1) -> jnp.ndarray:
-    """Decimating FIR (correlation form, matching gr_fir semantics).
+    """Decimating FIR (convolution form — standard FIR difference equation).
 
     Args:
       x: input of length ``n + ntaps - 1`` (history included; n % decim == 0).
-      taps: filter taps, length K.  ``y[i] = sum_k taps[k] x[i*decim + k]``.
+      taps: filter taps, length K.
+        ``y[i] = sum_k taps[k] x[i*decim + K - 1 - k]``.
       decim: keep one output per ``decim`` inputs.
 
     Returns: y of length n // decim.
     """
+    taps = jnp.flip(jnp.asarray(taps))
     k = taps.shape[0]
     n = x.shape[0] - (k - 1)
     if n < 0:
@@ -195,11 +198,14 @@ def interp_fir_filter(x: jnp.ndarray, taps: jnp.ndarray, interp: int) -> jnp.nda
       taps: prototype taps, length K (will be zero-padded to multiple of L).
       interp: L outputs per input.
 
-    Returns y of length n * L with ``y[i*L + p] = sum_j taps[j*L + p] x[i + j]``
-    (matching the reference's polyphase bank ordering where phase p uses
-    taps[p::L]).
+    Returns y of length n * L, exactly matching upsample-by-L followed by
+    convolution with ``taps``:
+        ``y[i*L + p] = sum_c taps[p + c*L] x[i - c]``
+    (phase p of the polyphase bank = taps[p::L], applied in convolution
+    orientation over the kp-sample history window).
     """
     l = interp
+    taps = jnp.asarray(taps)
     k = taps.shape[0]
     kp = -(-k // l)
     n = x.shape[0] - (kp - 1)
@@ -209,8 +215,10 @@ def interp_fir_filter(x: jnp.ndarray, taps: jnp.ndarray, interp: int) -> jnp.nda
     need = m * block + kp - 1
     xp = jnp.pad(x, (0, max(0, need - x.shape[0])))
     w = _window_matrix(xp, kp, block)  # (m, kp + block - 1)
-    # One tap matrix per phase, concatenated on the output axis.
-    t = jnp.concatenate([_tap_matrix(tp[p::l], block) for p in range(l)], axis=1)
+    # One tap matrix per phase (reversed: convolution orientation),
+    # concatenated on the output axis.
+    t = jnp.concatenate(
+        [_tap_matrix(jnp.flip(tp[p::l]), block) for p in range(l)], axis=1)
     y = _matmul(w, t)  # (m, l * block)
     # y[:, p*block + b] = phase p, output index m*block + b -> interleave
     y = y.reshape(m, l, block).transpose(0, 2, 1).reshape(-1)
@@ -221,10 +229,11 @@ def interp_fir_filter(x: jnp.ndarray, taps: jnp.ndarray, interp: int) -> jnp.nda
 def fir_filterbank(x: jnp.ndarray, tapbank: jnp.ndarray) -> jnp.ndarray:
     """Apply F different filters of equal length to the same input.
 
-    tapbank: (F, K).  Returns (F, n) with n = len(x) - K + 1.
-    Used by band-edge FLL, MMSE interpolator banks and pfb clock sync —
-    folds into one matmul with F*? output columns.
+    tapbank: (F, K), convolution orientation.  Returns (F, n) with
+    n = len(x) - K + 1.  Used by band-edge FLL, MMSE interpolator banks and
+    pfb clock sync — folds into one matmul with F*B output columns.
     """
+    tapbank = jnp.flip(jnp.asarray(tapbank), axis=1)
     f, k = tapbank.shape
     n = x.shape[0] - (k - 1)
     block = _B if n >= _B else max(8, 1 << max(0, (n - 1).bit_length()))

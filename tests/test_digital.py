@@ -1,0 +1,205 @@
+"""Digital stack tests: loops, constellations, modem BER loopbacks.
+
+Mirrors the reference's QA strategy: qa_costas_loop_cc.py:27-70 (zero-bw
+passthrough + convergence-from-rotation with settle discard),
+qa_constellation_receiver.py (end-to-end mod->channel->demod BER bound),
+qa_clock_recovery_mm.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtpu.digital import loops
+from grtpu.digital.constellation import (
+    constellation_bpsk, constellation_qpsk, psk_constellation,
+    qam_constellation,
+)
+from grtpu.digital.modems import Fsk4Modem, GmskModem, PskModem, awgn
+
+RNG = np.random.RandomState(123)
+
+
+class TestCostas:
+    def test_passthrough_when_locked(self):
+        """QPSK symbols with no offset: loop output ~ input
+        (qa_costas_loop_cc test_02-ish)."""
+        c = constellation_qpsk()
+        syms = RNG.randint(0, 4, 500)
+        x = c.points[syms]
+        y, _ = loops.costas_loop(jnp.asarray(x), loops.costas_init_state(),
+                                 0.02, 4)
+        np.testing.assert_allclose(np.asarray(y)[100:], x[100:], atol=0.2)
+
+    def test_converges_from_rotation(self):
+        """Fixed phase offset must be pulled out (qa test_03)."""
+        c = constellation_qpsk()
+        syms = RNG.randint(0, 4, 2000)
+        rot = np.exp(1j * 0.2)
+        x = c.points[syms] * rot
+        y, (phase, freq) = loops.costas_loop(
+            jnp.asarray(x.astype(np.complex64)), loops.costas_init_state(),
+            0.05, 4)
+        y = np.asarray(y)[1500:]
+        ref = c.points[syms][1500:]
+        # up to 4-fold symmetry ambiguity; offset 0.2 < pi/4 so no slip
+        np.testing.assert_allclose(y, ref, atol=0.15)
+
+    def test_tracks_cfo_bpsk(self):
+        syms = RNG.randint(0, 2, 4000) * 2 - 1
+        cfo = 0.01
+        x = syms * np.exp(1j * cfo * np.arange(4000))
+        y, (phase, freq) = loops.costas_loop(
+            jnp.asarray(x.astype(np.complex64)), loops.costas_init_state(),
+            0.06, 2)
+        assert abs(float(freq) - cfo) < 2e-3
+        tail = np.asarray(y)[3000:]
+        assert np.abs(np.imag(tail)).mean() < 0.1
+
+
+class TestDiff:
+    def test_encode_decode_roundtrip(self):
+        x = RNG.randint(0, 4, 256).astype(np.uint8)
+        enc, st = loops.diff_encode(jnp.asarray(x), jnp.zeros((), jnp.uint8), 4)
+        dec, _ = loops.diff_decode(enc, jnp.zeros((), jnp.uint8), 4)
+        np.testing.assert_array_equal(np.asarray(dec), x)
+
+    def test_encode_chunked_equals_whole(self):
+        x = RNG.randint(0, 2, 64).astype(np.uint8)
+        whole, _ = loops.diff_encode(jnp.asarray(x), jnp.zeros((), jnp.uint8), 2)
+        st = jnp.zeros((), jnp.uint8)
+        parts = []
+        for c in range(4):
+            y, st = loops.diff_encode(jnp.asarray(x[c * 16:(c + 1) * 16]), st, 2)
+            parts.append(np.asarray(y))
+        np.testing.assert_array_equal(np.concatenate(parts), np.asarray(whole))
+
+
+class TestConstellation:
+    @pytest.mark.parametrize("make", [constellation_bpsk, constellation_qpsk,
+                                      lambda: psk_constellation(8),
+                                      lambda: qam_constellation(16)])
+    def test_decision_inverts_map(self, make):
+        c = make()
+        idx = np.arange(c.arity())
+        pts = c.map_to_points(jnp.asarray(idx))
+        dec = np.asarray(c.decision_maker(pts))
+        np.testing.assert_array_equal(dec, idx)
+
+    def test_decisions_with_noise(self):
+        c = constellation_qpsk()
+        syms = RNG.randint(0, 4, 1000)
+        x = c.points[syms] + 0.1 * (RNG.randn(1000) + 1j * RNG.randn(1000))
+        dec = np.asarray(c.decision_maker(jnp.asarray(x.astype(np.complex64))))
+        assert (dec == syms).mean() > 0.999
+
+    def test_soft_decisions_sign(self):
+        c = constellation_bpsk()
+        x = jnp.asarray(np.array([1.0 + 0j, -1.0 + 0j], np.complex64))
+        llr = np.asarray(c.soft_decision_maker(x))
+        assert llr[0, 0] > 0 and llr[1, 0] < 0
+
+
+class TestClockRecovery:
+    def test_mm_ff_recovers_timing(self):
+        """NRZ at sps=4 with fractional delay: recovered symbols match."""
+        sps = 4
+        nsym = 800
+        bits = RNG.randint(0, 2, nsym) * 2 - 1
+        from grtpu.utils import firdes
+        from grtpu.ops.fir import interp_fir_filter as ifir
+
+        taps = np.convolve(firdes.gaussian(1.0, sps, 0.5, 4 * sps),
+                           np.ones(sps, np.float32)).astype(np.float32)
+        kp = -(-len(taps) // sps)
+        xh = jnp.concatenate([jnp.zeros(kp - 1, jnp.float32),
+                              jnp.asarray(bits.astype(np.float32))])
+        wave = np.asarray(ifir(xh, jnp.asarray(taps), sps))
+        # fractional delay of 1.7 samples via resampling shift
+        wave = np.interp(np.arange(len(wave)) - 1.7,
+                         np.arange(len(wave)), wave).astype(np.float32)
+        st = loops.mm_init_state(float(sps), 0.5)
+        ys, n_valid, _ = loops.clock_recovery_mm_ff(
+            jnp.asarray(wave), st, float(sps), 0.25 * 0.175 ** 2, 0.175, 0.005)
+        got = np.sign(np.asarray(ys)[: int(n_valid)])
+        # align to sent bits (unknown integer symbol offset)
+        best = 0
+        for off in range(4):
+            n = min(len(got) - off, nsym - 50) - 50
+            acc = (got[off + 50: off + 50 + n] == bits[50: 50 + n]).mean()
+            best = max(best, acc)
+        assert best > 0.98, best
+
+
+class TestGmsk:
+    def test_loopback_clean(self):
+        modem = GmskModem(samples_per_symbol=4)
+        bits = RNG.randint(0, 2, 2000).astype(np.uint8)
+        tx = modem.modulate(bits)
+        rx = modem.demodulate(tx)
+        ber, shift = _best_ber(bits, rx)
+        assert ber < 0.002, (ber, shift)
+
+    def test_loopback_noisy(self):
+        modem = GmskModem(samples_per_symbol=4)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = modem.modulate(bits)
+        rx = modem.demodulate(awgn(tx, 12.0, seed=3))
+        ber, _ = _best_ber(bits, rx)
+        assert ber < 0.02, ber
+
+
+class TestDbpsk:
+    def test_loopback_clean(self):
+        modem = PskModem(m=2, samples_per_symbol=4)
+        bits = RNG.randint(0, 2, 2000).astype(np.uint8)
+        tx = modem.modulate(bits)
+        rx = modem.demodulate(tx)
+        ber, _ = _best_ber(bits, rx)
+        assert ber < 0.01, ber
+
+    def test_loopback_cfo_noise(self):
+        modem = PskModem(m=2, samples_per_symbol=4)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = np.asarray(modem.modulate(bits))
+        cfo = 0.002  # rad/sample
+        tx = tx * np.exp(1j * cfo * np.arange(len(tx)))
+        rx = modem.demodulate(awgn(tx, 15.0, seed=5))
+        ber, _ = _best_ber(bits, rx)
+        assert ber < 0.02, ber
+
+
+class TestFsk4:
+    def test_loopback_clean(self):
+        modem = Fsk4Modem(samples_per_symbol=5)
+        dibits = RNG.randint(0, 4, 1000).astype(np.uint8)
+        tx = modem.modulate(dibits)
+        rx = modem.demodulate(tx)
+        ser, _ = _best_ber(dibits, rx, settle=600)
+        assert ser < 0.005, ser
+
+    def test_loopback_noisy(self):
+        modem = Fsk4Modem(samples_per_symbol=5)
+        dibits = RNG.randint(0, 4, 2000).astype(np.uint8)
+        tx = modem.modulate(dibits)
+        rx = modem.demodulate(awgn(tx, 15.0, seed=9))
+        ser, _ = _best_ber(dibits, rx, settle=600)
+        assert ser < 0.02, ser
+
+
+def _best_ber(sent, got, max_shift=16, settle=0):
+    """BER minimized over alignment shift (clock recovery has unknown
+    integer symbol delay); ``settle`` discards the acquisition transient
+    (the reference's QA does the same, e.g. qa_costas settle-N discard)."""
+    best = 1.0
+    bshift = 0
+    sent = np.asarray(sent)
+    got = np.asarray(got)
+    for s in range(max_shift):
+        n = min(len(got) - s, len(sent)) - 32
+        if n <= settle:
+            continue
+        err = (got[s + settle: s + n] != sent[settle:n]).mean()
+        if err < best:
+            best, bshift = err, s
+    return best, bshift

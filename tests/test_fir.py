@@ -20,11 +20,12 @@ from grtpu.utils import firdes
 
 
 def ref_fir(x, taps, decim=1):
-    """y[i] = sum_k taps[k] x[i*decim + k] — the gr_fir contract."""
+    """Convolution form: y[i] = sum_k taps[k] x[i*decim + K-1-k]."""
     k = len(taps)
     n = len(x) - (k - 1)
     nout = n // decim
-    return np.array([np.dot(taps, x[i * decim:i * decim + k]) for i in range(nout)])
+    tr = np.asarray(taps)[::-1]
+    return np.array([np.dot(tr, x[i * decim:i * decim + k]) for i in range(nout)])
 
 
 RNG = np.random.RandomState(42)
@@ -91,13 +92,17 @@ class TestInterpFir:
         x = RNG.randn(n + kp - 1).astype(np.float32)
         taps = RNG.randn(k).astype(np.float32)
         y = np.asarray(interp_fir_filter(jnp.asarray(x), jnp.asarray(taps), interp))
-        # reference: polyphase, y[i*L + p] = sum_j taps[j*L+p] x[i+j]
+        # direct polyphase convolution reference (x carries kp-1 history)
         tp = np.pad(taps, (0, kp * interp - k))
         ref = np.zeros(n * interp, np.float32)
         for p in range(interp):
             hp = tp[p::interp]
             for i in range(n):
-                ref[i * interp + p] = np.dot(hp, x[i:i + kp])
+                # y[i*L+p] = sum_c hp[c] x_current[i - c]; x index shifted by history
+                acc = 0.0
+                for c in range(kp):
+                    acc += hp[c] * x[i + kp - 1 - c]
+                ref[i * interp + p] = acc
         np.testing.assert_allclose(y, ref, rtol=3e-4, atol=3e-4)
 
 
