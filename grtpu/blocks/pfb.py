@@ -1,0 +1,192 @@
+"""Polyphase filterbank blocks + PFB clock sync.
+
+Analogs: gr_pfb_channelizer_ccf, gr_pfb_synthesis_filterbank_ccf,
+gr_pfb_arb_resampler_{ccf,fff}, gr_pfb_decimator_ccf, gr_pfb_interpolator_ccf,
+gr_pfb_clock_sync_{ccf,fff} (SURVEY.md §2.3), and the blks2impl wrappers
+(pfb_channelizer.py, pfb_arb_resampler.py, ...).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grtpu.runtime.block import Block, Port
+from grtpu.ops import pfb as pfb_ops
+from grtpu.ops.fir import fir_filter, interp_fir_filter
+from grtpu.ops import dsp
+
+
+class PfbChannelizer(Block):
+    """gr_pfb_channelizer_ccf: stream in -> (nchan,)-vector stream out at
+    rate oversample*fs/nchan.  Channel c centered at +c*fs/nchan."""
+
+    def __init__(self, nchan: int, taps=None, oversample: int = 1,
+                 taps_per_branch: int = 12, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64, nchan),)
+        if taps is None:
+            taps = pfb_ops.design_channelizer_taps(nchan, taps_per_branch)
+        self.taps = np.asarray(taps, np.float32)
+        kp = -(-len(self.taps) // nchan)
+        self.decim = nchan // oversample
+        self.history = kp * nchan + 1
+        super().__init__(name)
+        self.nchan = nchan
+        self.oversample = oversample
+
+    def apply(self, state, x):
+        # history = kp*nchan + 1 => executor delivers exactly kp*nchan
+        # context samples, the channelizer's required history
+        return state, pfb_ops.channelize(x, self.taps, self.nchan,
+                                         self.oversample)
+
+
+class PfbSynthesizer(Block):
+    """gr_pfb_synthesis_filterbank_ccf: (nchan,)-vector stream -> stream."""
+
+    def __init__(self, nchan: int, taps=None, taps_per_branch: int = 12,
+                 name=None):
+        self.in_ports = (Port(jnp.complex64, nchan),)
+        self.out_ports = (Port(jnp.complex64),)
+        if taps is None:
+            taps = pfb_ops.design_channelizer_taps(nchan, taps_per_branch)
+        self.taps = np.asarray(taps, np.float32)
+        kp = -(-len(self.taps) // nchan)
+        self.interp = nchan
+        self.history = kp
+        super().__init__(name)
+        self.nchan = nchan
+
+    def apply(self, state, x):
+        return state, pfb_ops.synthesize(x, self.taps)
+
+
+class PfbArbResampler(Block):
+    """gr_pfb_arb_resampler_{ccf,fff}: rational-approximated arbitrary rate.
+
+    rate is snapped to a Fraction (denominator <= 4096); the executor's
+    chunking stays static and sample-exact at that rational rate.
+    """
+
+    def __init__(self, rate: float, taps=None, filter_size: int = 32,
+                 dtype=jnp.complex64, name=None):
+        fr = Fraction(rate).limit_denominator(4096)
+        self.in_ports = (Port(dtype),)
+        self.out_ports = (Port(dtype),)
+        self.interp = fr.numerator
+        self.decim = fr.denominator
+        if taps is None:
+            taps = pfb_ops.design_arb_resampler_taps(float(fr), filter_size)
+        self.taps = np.asarray(taps, np.float32)
+        self.filter_size = filter_size
+        kp = -(-len(self.taps) // filter_size)
+        self.history = kp
+        super().__init__(name)
+        self.rate = fr
+
+    def apply(self, state, x):
+        return state, pfb_ops.arb_resample(x, self.taps, self.rate,
+                                           self.filter_size)
+
+
+class PfbDecimator(Block):
+    """gr_pfb_decimator_ccf: channelizer collapsed to one selected channel
+    (band-select decimation by nchan)."""
+
+    def __init__(self, nchan: int, channel: int = 0, taps=None,
+                 taps_per_branch: int = 12, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        if taps is None:
+            taps = pfb_ops.design_channelizer_taps(nchan, taps_per_branch)
+        self.taps = np.asarray(taps, np.float32)
+        kp = -(-len(self.taps) // nchan)
+        self.decim = nchan
+        self.history = kp * nchan + 1
+        super().__init__(name)
+        self.nchan = nchan
+        self.channel = channel
+
+    def apply(self, state, x):
+        y = pfb_ops.channelize(x, self.taps, self.nchan, 1)
+        return state, y[:, self.channel]
+
+
+class PfbInterpolator(Block):
+    """gr_pfb_interpolator_ccf: polyphase interpolation by L."""
+
+    def __init__(self, interp: int, taps=None, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        self.interp = interp
+        if taps is None:
+            from grtpu.utils import firdes
+
+            taps = firdes.low_pass(interp, interp, 0.45, 0.1)
+        self.taps = np.asarray(taps, np.float32)
+        self.history = -(-len(self.taps) // interp)
+        super().__init__(name)
+
+    def apply(self, state, x):
+        return state, interp_fir_filter(x, self.taps, self.interp)
+
+
+# --------------------------------------------------------------- clock sync
+def pfb_clock_sync(x: jnp.ndarray, state, sps: float, taps: np.ndarray,
+                   nfilts: int, loop_bw: float, max_dev: float = 1.5):
+    """gr_pfb_clock_sync_ccf: timing recovery selecting among nfilts
+    phase-shifted matched filters, 2nd-order loop on (d_k, d_rate).
+
+    The matched-filter bank is the prototype split into nfilts phases; the
+    timing error is Re(out_deriv * conj(out)) (the reference's error), fed
+    to a proportional-plus-integrator loop on the filter index.
+
+    x: samples with kp-1+ceil(sps) lookahead/history slack.
+    state: (k, rate_f, base) — filter phase, rate deviation, sample pointer.
+    Returns (y_padded, n_valid, state').
+    """
+    proto = np.asarray(taps)
+    bank = pfb_ops.polyphase_taps(proto, nfilts)[:, ::-1].copy()  # conv orient
+    dproto = np.empty_like(proto)
+    dproto[:-1] = proto[1:] - proto[:-1]
+    dproto[-1] = 0
+    dbank = pfb_ops.polyphase_taps(dproto, nfilts)[:, ::-1].copy()
+    kp = bank.shape[1]
+    bj, dj = jnp.asarray(bank), jnp.asarray(dbank)
+    n_in = x.shape[0]
+    alpha, beta = dsp.control_loop_gains(loop_bw)
+    max_out = int(np.ceil(n_in / (sps * 0.95)))
+
+    def f(carry, _):
+        k, rate_f, base = carry
+        ip = jnp.floor(base).astype(jnp.int32)
+        win = jax.lax.dynamic_slice_in_dim(
+            x, jnp.clip(ip, 0, n_in - kp), kp)
+        ki = jnp.clip(jnp.round(k).astype(jnp.int32), 0, nfilts - 1)
+        out = (win * bj[ki]).sum()
+        dout = (win * dj[ki]).sum()
+        err = jnp.clip((dout * jnp.conj(out)).real, -1.0, 1.0)
+        rate_f2 = jnp.clip(rate_f + beta * err, -max_dev, max_dev)
+        k2 = k + rate_f2 + alpha * err
+        # wrap filter index into [0, nfilts), carrying overflow into base
+        shift = jnp.floor(k2 / nfilts)
+        k3 = k2 - shift * nfilts
+        base2 = base + sps + shift
+        valid = base2 + kp <= n_in
+        newc = (k3, rate_f2, base2)
+        outc = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid, a, b), newc, carry)
+        return outc, (out.astype(x.dtype), valid)
+
+    carry, (ys, valids) = jax.lax.scan(f, state, None, length=max_out)
+    return ys, valids.sum().astype(jnp.int32), carry
+
+
+def pfb_clock_sync_init(nfilts: int):
+    return (jnp.asarray(nfilts / 2.0, jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32))

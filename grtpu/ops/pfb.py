@@ -1,0 +1,188 @@
+"""Polyphase filterbank ops: channelizer, synthesizer, arbitrary resampler.
+
+Analogs (SURVEY.md §2.3):
+  * gr_pfb_channelizer_ccf (gnuradio-core/src/lib/filter/
+    gr_pfb_channelizer_ccf.cc:44-200): N-way commutated polyphase FIR +
+    N-point transform splitting one wideband stream into N channels.
+  * gr_pfb_synthesis_filterbank_ccf: the inverse.
+  * gr_pfb_arb_resampler_ccf (gr_pfb_arb_resampler_ccf.cc:42-209):
+    filter-size-phase bank + derivative bank, accumulator-stepped arbitrary
+    rate with linear interpolation between adjacent phases.
+  * gr_pfb_decimator_ccf / gr_pfb_interpolator_ccf.
+
+TPU-native design: no commutator loop — the polyphase decomposition is a
+reshape/stride pattern, the per-branch FIRs are one batched contraction, and
+the transform across branches is XLA's batched FFT.  The arbitrary resampler
+has *no feedback*: every output's (input index, phase, fraction) is a
+closed-form function of the rational rate, so the whole resample is gather +
+two contractions — fully parallel, unlike the reference's sequential
+accumulator loop.
+
+Channel convention: channel c of ``channelize`` is centered at +c*fs/N
+(wrapping: c > N/2 are negative frequencies), output rate fs/N:
+
+    y_c[t] = sum_m h[m] x[tN - m] e^{-2i pi c m / N}
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def polyphase_taps(proto: np.ndarray, nphases: int) -> np.ndarray:
+    """(nphases, kp) bank: phase p = proto[p::nphases], zero-padded."""
+    k = len(proto)
+    kp = -(-k // nphases)
+    tp = np.zeros(nphases * kp, proto.dtype)
+    tp[:k] = proto
+    return tp.reshape(kp, nphases).T.copy()
+
+
+def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
+               oversample: int = 1) -> jnp.ndarray:
+    """Polyphase channelizer; see module docstring.
+
+    Args:
+      x: input with ``kp * nchan`` history samples (kp = ceil(K/N) taps per
+         branch): length n + kp*nchan, n % nchan == 0.
+      proto_taps: prototype lowpass at input rate, cutoff ~fs/(2N).
+      oversample: per-channel output rate multiplier (the reference's
+        filter-index-rotation oversampling, gr_pfb_channelizer_ccf.cc:44-200,
+        realized here as a stride-N/os commutator + per-step phase twist);
+        must divide nchan.
+
+    Returns (oversample * n // nchan, nchan) complex64, time-major; channel
+    c at +c*fs/N, output rate oversample*fs/N.
+    """
+    N = nchan
+    os_ = oversample
+    if N % os_:
+        raise ValueError("oversample must divide nchan")
+    step = N // os_
+    bank = polyphase_taps(np.asarray(proto_taps), N)  # (N, kp)
+    kp = bank.shape[1]
+    hist = kp * N
+    n = x.shape[0] - hist
+    T = (n // N) * os_
+    # v[b,t] = sum_j bank[b,j] x[hist + t*step - j*N - b]
+    # (the commutator advances `step` inputs per output row; the branch FIR
+    # strides N regardless of oversampling)
+    t_ix = np.arange(T)[:, None, None] * step
+    j_ix = np.arange(kp)[None, None, :] * N
+    b_ix = np.arange(N)[None, :, None]
+    idx = hist + t_ix - j_ix - b_ix  # (T, N, kp), min = N - b >= 1 - N... >=0
+    w = x[jnp.asarray(idx)]  # (T, N, kp)
+    bk = jnp.asarray(bank)
+    if jnp.iscomplexobj(x):
+        v = (jnp.einsum("tbk,bk->bt", w.real, bk, precision=_HI)
+             + 1j * jnp.einsum("tbk,bk->bt", w.imag, bk, precision=_HI))
+    else:
+        v = jnp.einsum("tbk,bk->bt", w, bk, precision=_HI)
+    # across branches -> channels; IFFT (x N) so channel c sits at +c*fs/N
+    y = jnp.fft.ifft(v, axis=0) * N  # (N, T)
+    if os_ > 1:
+        # channel c's downconversion phase at output t is -2pi c (t*step)/N
+        c = jnp.arange(N)[:, None]
+        t = jnp.arange(T)[None, :]
+        y = y * jnp.exp(-2j * np.pi * c * t / os_).astype(jnp.complex64)
+    return y.T.astype(jnp.complex64)
+
+
+def synthesize(chans: jnp.ndarray, proto_taps: np.ndarray) -> jnp.ndarray:
+    """Polyphase synthesis filterbank: (T + kp - 1, N) channel matrix (with
+    kp-1 history rows) -> (T*N,) stream.
+
+    x_rec[tN + p] = sum_j bank[p, j] * (N * IFFT_N(chans[t - j]))[p]
+    — the inverse of :func:`channelize` up to the prototype response and
+    kp*N/2-ish group delay.
+    """
+    T_in, N = chans.shape
+    bank = polyphase_taps(np.asarray(proto_taps), N)
+    kp = bank.shape[1]
+    T = T_in - (kp - 1)
+    v = jnp.fft.ifft(chans, axis=1).T * N  # (N, T_in) branch streams
+    idx_t = jnp.arange(T)[:, None] + jnp.arange(kp)[None, :]
+    w = v[:, idx_t]  # (N, T, kp): w[p,t,j] = v_p[t - (kp-1) + j]
+    bk = jnp.asarray(bank[:, ::-1].copy())
+    s = (jnp.einsum("ptk,pk->pt", w.real, bk, precision=_HI)
+         + 1j * jnp.einsum("ptk,pk->pt", w.imag, bk, precision=_HI))
+    # interpolation-by-N needs prototype gain N (each branch sees 1/N of
+    # the unity-DC prototype)
+    return (N * s.T.reshape(-1)).astype(jnp.complex64)  # out[t*N+p] = s[p,t]
+
+
+def design_channelizer_taps(nchan: int, taps_per_branch: int = 12) -> np.ndarray:
+    """Prototype lowpass for an N-channel bank (pfb_channelizer helper:
+    cutoff at half the channel width, designed at the input rate)."""
+    from grtpu.utils import firdes
+
+    ntaps = nchan * taps_per_branch
+    return firdes.low_pass_2(1.0, nchan, 0.5, ntaps,
+                             firdes.Window.BLACKMAN_HARRIS)
+
+
+# ------------------------------------------------------------ arb resampler
+def arb_resampler_plan(rate: Fraction, n_in: int,
+                       filter_size: int) -> Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray, int]:
+    """Static (input index, phase, frac) tables for one chunk.
+
+    Output k samples continuous input position p_k = k / rate;
+    phase = frac(p_k) * filter_size, linear interpolation between adjacent
+    phases — the reference's accumulator recurrence in closed form."""
+    n_out = int(n_in * rate)
+    k = np.arange(n_out, dtype=np.float64)
+    p = k / float(rate)
+    i = np.floor(p).astype(np.int64)
+    mu = p - i
+    phf = mu * filter_size
+    ph = np.floor(phf).astype(np.int64)
+    frac = (phf - ph).astype(np.float32)
+    return i, ph, frac, n_out
+
+
+def arb_resample(x: jnp.ndarray, proto_taps: np.ndarray, rate: Fraction,
+                 filter_size: int = 32) -> jnp.ndarray:
+    """Arbitrary-rate polyphase resampler (gr_pfb_arb_resampler semantics).
+
+    x carries kp-1 history samples (kp = taps per phase).  Output length
+    = n * rate (n * rate must be integral).
+    """
+    proto = np.asarray(proto_taps)
+    bank = polyphase_taps(proto, filter_size)           # (M, kp)
+    dproto = np.empty_like(proto)
+    dproto[:-1] = proto[1:] - proto[:-1]
+    dproto[-1] = 0.0
+    dbank = polyphase_taps(dproto, filter_size)
+    kp = bank.shape[1]
+    n = x.shape[0] - (kp - 1)
+    i, ph, frac, n_out = arb_resampler_plan(rate, n, filter_size)
+    # window for output k (conv orientation): x_cur[i_k - j], j=0..kp-1;
+    # with history offset, x_cur[m] = x[m + kp - 1], so window =
+    # x[i_k .. i_k + kp - 1] dotted with reversed phase taps.
+    idx = jnp.asarray(i)[:, None] + jnp.arange(kp)[None, :]
+    w = x[idx]  # (n_out, kp)
+    bk = jnp.asarray(bank[:, ::-1].copy())[jnp.asarray(ph)]
+    dk = jnp.asarray(dbank[:, ::-1].copy())[jnp.asarray(ph)]
+    y0 = (w * bk).sum(axis=1)
+    y1 = (w * dk).sum(axis=1)
+    return (y0 + jnp.asarray(frac) * y1).astype(x.dtype)
+
+
+def design_arb_resampler_taps(rate: float, filter_size: int = 32) -> np.ndarray:
+    """Prototype for the arb resampler (blks2impl/pfb_arb_resampler design):
+    lowpass at the narrower of input/output Nyquist, designed at
+    filter_size x the input rate."""
+    from grtpu.utils import firdes
+
+    cutoff = 0.45 * min(1.0, float(rate))  # cycles/input-sample
+    transition = 0.1 * min(1.0, float(rate))
+    return firdes.low_pass(filter_size, filter_size, cutoff, transition,
+                           firdes.Window.BLACKMAN_HARRIS)
