@@ -1,0 +1,200 @@
+"""IO, FFT blocks, channel model, optfir, eng_notation tests."""
+
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtpu import Graph, StreamExecutor
+from grtpu.runtime.block import Port
+from grtpu.runtime.msg import Message, MsgQueue
+from grtpu.blocks.gengen import VectorSink
+from grtpu.io.file import (FileSink, FileSource, load_capture, load_wav,
+                           save_capture, save_wav)
+from grtpu.io.msgio import MessageSource, MessageStreamSink
+from grtpu.io.udp import UdpSink, UdpSource
+
+RNG = np.random.RandomState(5)
+
+
+class TestFileIO:
+    def test_capture_roundtrip(self, tmp_path):
+        p = str(tmp_path / "cap.cfile")
+        x = (RNG.randn(1000) + 1j * RNG.randn(1000)).astype(np.complex64)
+        save_capture(p, x)
+        y = load_capture(p, np.complex64)
+        np.testing.assert_array_equal(x, y)
+        z = load_capture(p, np.complex64, offset_items=100, nitems=50)
+        np.testing.assert_array_equal(x[100:150], z)
+
+    def test_file_source_sink_graph(self, tmp_path):
+        src_p = str(tmp_path / "in.cfile")
+        dst_p = str(tmp_path / "out.cfile")
+        x = (RNG.randn(256) + 1j * RNG.randn(256)).astype(np.complex64)
+        save_capture(src_p, x)
+        g = Graph()
+        src = FileSource(src_p, jnp.complex64)
+        snk = FileSink(dst_p, jnp.complex64)
+        g.connect(src, snk)
+        ex = StreamExecutor(g, chunk_size=64)
+        ex.run(steps=4)
+        snk.flush()
+        y = load_capture(dst_p, np.complex64)
+        np.testing.assert_array_equal(x, y)
+
+    def test_wav_roundtrip(self, tmp_path):
+        p = str(tmp_path / "a.wav")
+        x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(
+            np.float32)
+        save_wav(p, 8000, x)
+        rate, y = load_wav(p)
+        assert rate == 8000
+        np.testing.assert_allclose(y[:, 0], x, atol=1e-3)
+
+
+class TestUdp:
+    def test_loopback(self):
+        """UDP source/sink loopback (the reference's network demos,
+        gnuradio-examples/python/network)."""
+        src = UdpSource("127.0.0.1", 0, np.complex64, timeout=2.0)
+        port = src.sock.getsockname()[1]
+        snk = UdpSink("127.0.0.1", port, np.complex64)
+        x = (RNG.randn(2000) + 1j * RNG.randn(2000)).astype(np.complex64)
+        t = threading.Thread(target=lambda: snk.write_items(x))
+        t.start()
+        got = src.read_items(2000)
+        t.join()
+        snk.close()
+        src.close()
+        assert got is not None
+        np.testing.assert_array_equal(got, x)
+
+
+class TestMsgIO:
+    def test_message_source_fill(self):
+        q = MsgQueue()
+        ms = MessageSource(np.uint8, q)
+        q.insert_tail(Message(payload=bytes(range(10))))
+        q.insert_tail(Message(payload=bytes(range(10, 20))))
+        a = ms.fill(15)
+        np.testing.assert_array_equal(a, np.arange(15, dtype=np.uint8))
+        b = ms.fill(10)
+        np.testing.assert_array_equal(b[:5], np.arange(15, 20, dtype=np.uint8))
+        np.testing.assert_array_equal(b[5:], 0)
+
+    def test_message_sink_framing(self):
+        sink = MessageStreamSink(8, np.uint8)
+        sink.push(np.arange(20, dtype=np.uint8))
+        msgs = []
+        while not sink.msgq.empty_p():
+            msgs.append(sink.msgq.delete_head_nowait())
+        assert len(msgs) == 2
+        np.testing.assert_array_equal(
+            np.frombuffer(msgs[0].to_string(), np.uint8), np.arange(8))
+
+
+class TestFftBlocks:
+    def test_fft_vcc_tone(self):
+        from grtpu.blocks.fftblk import FftVcc
+        from grtpu.blocks.stream import StreamToVector
+
+        n_fft = 64
+        f_bin = 5
+        x = np.exp(2j * np.pi * f_bin / n_fft * np.arange(256)).astype(
+            np.complex64)
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        sink = VectorSink(jnp.complex64, vlen=n_fft)
+        g.connect(pin, StreamToVector(jnp.complex64, n_fft),
+                  FftVcc(n_fft), sink)
+        ex = StreamExecutor(g, chunk_size=128)
+        ex.run(jnp.asarray(x))
+        spec = sink.data()
+        assert spec.shape == (4, n_fft)
+        assert np.argmax(np.abs(spec[0])) == f_bin
+
+    def test_logpwrfft(self):
+        from grtpu.blocks.fftblk import LogPwrFft
+
+        fs, n_fft = 32000.0, 128
+        f = 4000.0
+        x = np.exp(2j * np.pi * f / fs * np.arange(4096)).astype(np.complex64)
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        lp = LogPwrFft(fs, n_fft, frame_rate=fs / n_fft)  # keep every vector
+        sink = VectorSink(jnp.float32, vlen=n_fft)
+        g.connect(pin, lp, sink)
+        ex = StreamExecutor(g, chunk_size=1024)
+        ex.run(jnp.asarray(x))
+        spec = sink.data()
+        # shifted spectrum: bin index for +4kHz = n_fft/2 + f/fs*n_fft
+        expect_bin = n_fft // 2 + int(f / fs * n_fft)
+        assert np.argmax(spec[2]) == expect_bin
+
+
+class TestChannelModel:
+    def test_cfo_and_noise(self):
+        from grtpu.models.channel import ChannelModel
+
+        cfo = 0.01
+        ch = ChannelModel(noise_voltage=0.01, frequency_offset=cfo)
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        sink = VectorSink(jnp.complex64)
+        g.connect(pin, ch, sink)
+        ex = StreamExecutor(g, chunk_size=512)
+        x = np.ones(2048, np.complex64)
+        ex.run(jnp.asarray(x))
+        y = sink.data()
+        dphi = np.angle(y[1:] * np.conj(y[:-1])).mean() / (2 * np.pi)
+        assert abs(dphi - cfo) < 1e-3
+        noise_est = np.abs(np.abs(y) - 1.0).std()
+        assert 0.001 < noise_est < 0.05
+
+    def test_multipath(self):
+        from grtpu.models.channel import ChannelModel
+
+        taps = np.array([1.0, 0.0, 0.4 + 0.2j], np.complex64)
+        ch = ChannelModel(taps=taps)
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        sink = VectorSink(jnp.complex64)
+        g.connect(pin, ch, sink)
+        ex = StreamExecutor(g, chunk_size=256)
+        x = np.zeros(512, np.complex64)
+        x[10] = 1.0  # impulse
+        ex.run(jnp.asarray(x))
+        y = sink.data()
+        np.testing.assert_allclose(y[10], 1.0, atol=1e-5)
+        np.testing.assert_allclose(y[12], 0.4 + 0.2j, atol=1e-5)
+
+
+class TestUtils:
+    def test_eng_notation(self):
+        from grtpu.utils.eng_notation import num_to_str, str_to_num
+
+        assert num_to_str(2.5e6) == "2.5M"
+        assert str_to_num("100k") == 100e3
+        assert str_to_num("10u") == pytest.approx(10e-6)
+        assert str_to_num("42") == 42.0
+
+    def test_optfir_low_pass(self):
+        import scipy.signal as sig
+        from grtpu.utils.optfir import low_pass
+
+        taps = low_pass(1.0, 48000, 8000, 10000, 0.5, 60)
+        w, h = sig.freqz(taps, fs=48000)
+        mag = np.abs(h)
+        assert abs(mag[w < 7000].mean() - 1.0) < 0.06
+        assert 20 * np.log10(mag[w > 10500].max()) < -55
+
+    def test_optfir_band_pass(self):
+        import scipy.signal as sig
+        from grtpu.utils.optfir import band_pass
+
+        taps = band_pass(1.0, 48000, 4000, 6000, 10000, 12000, 0.5, 50)
+        w, h = sig.freqz(taps, fs=48000)
+        mag = np.abs(h)
+        assert mag[(w > 6500) & (w < 9500)].min() > 0.9
+        assert mag[w < 3500].max() < 0.01 * 4
