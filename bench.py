@@ -6,16 +6,21 @@ serial 256-tap real FIR filters; FLOP = 2*ntaps*npipes*nstages*nsamples
 (synthetic.py:76).  Baseline to beat: 74.37 GFLOPS peak (2x quad Xeon E5472,
 perf-data/dual-quad-core-3.00-penryn.dat:1).
 
-On TPU the npipes axis is a batch dimension and the nstages chain is a
-sequential composition inside one jitted program; each stage is the MXU
-Toeplitz-matmul FIR (grtpu.ops.fir).  FLOPs are counted algorithmically
-(2*ntaps per output sample) exactly as the reference counts them.
+TPU implementation: the grtpu Pallas cascade kernel
+(grtpu/ops/pallas_fir.py) — the whole 16-stage chain runs VMEM-resident per
+tile, each stage one Toeplitz MXU matmul at f32-exact (HIGHEST) precision.
+FLOPs are counted algorithmically (2*ntaps per output sample) exactly as the
+reference counts them.
+
+Timing methodology: the tunneled TPU backend's block_until_ready does not
+reliably block, so iterations are chained INSIDE one jitted fori_loop and
+synced by a scalar readback; per-iteration time comes from the (m=5 - m=1)
+slope, which cancels dispatch/readback overhead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -24,43 +29,40 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from grtpu.ops.fir import batch_fir_filter
+    from grtpu.ops.pallas_fir import fir_cascade
 
     ntaps = 256
     npipes = 16
     nstages = 16
     nsamples = 1 << 20  # per pipe per iteration
 
-    taps = jnp.asarray(np.random.RandomState(0).randn(ntaps).astype(np.float32))
+    taps = (np.random.RandomState(0).randn(ntaps) * 0.05).astype(np.float32)
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(npipes, nsamples).astype(np.float32))
 
-    @jax.jit
-    def pipeline(x):
-        # x: (npipes, nsamples + ntaps - 1); each stage consumes its own
-        # history from the running buffer, like the reference's chained
-        # fir_filter_fff blocks (history supplied by pipeline padding).
-        y = x
-        for _ in range(nstages):
-            y = batch_fir_filter(y, taps, 1)
-            # re-pad so every stage filters nsamples outputs (the reference
-            # counts full-rate samples through every stage)
-            y = jnp.pad(y, ((0, 0), (ntaps - 1, 0)))
-        return y[:, ntaps - 1:]
+    def make(m):
+        @jax.jit
+        def g(a):
+            def body(i, c):
+                return fir_cascade(c, taps, nstages, tile_rows=512) * 0.999
 
-    r = np.random.RandomState(1)
-    x = jnp.asarray(r.randn(npipes, nsamples + ntaps - 1).astype(np.float32))
+            return jnp.sum(jax.lax.fori_loop(0, m, body, a))
 
-    # compile
-    pipeline(x).block_until_ready()
+        return g
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    times = {}
+    for m in (1, 5):
+        g = make(m)
+        float(np.asarray(g(x)))  # compile + warm
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(np.asarray(g(x)))
+        times[m] = (time.perf_counter() - t0) / reps
 
+    per_iter = (times[5] - times[1]) / 4
     flops = 2.0 * ntaps * npipes * nstages * nsamples
-    gflops = flops / dt / 1e9
+    gflops = flops / per_iter / 1e9
     baseline = 74.37  # GFLOPS, BASELINE.md best published
     print(json.dumps({
         "metric": "synthetic_fir_pipeline_16x16_256taps",

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: multi-stage FIR cascade resident in VMEM.
+
+The volk/gr_fir SIMD layer analog at its most aggressive: where
+grtpu.ops.fir runs each FIR as one XLA matmul (HBM -> MXU -> HBM per
+stage), this kernel keeps the stream tile in VMEM across a whole cascade of
+stages — the reference's thread-per-block pipeline with its vmcircbuf
+handoffs collapses into a single on-chip loop.
+
+Layout trick: the stream lives as a (rows, 128) row-major matrix.  With
+taps zero-padded to 257 (halo = 256 samples = 2 rows), a stage's Toeplitz
+window matmul decomposes into three row-shifted (R,128)@(128,128) MXU
+matmuls:
+
+    y[m] = buf[m] @ T0 + buf[m+1] @ T1 + buf[m+2] @ T2.
+
+Alignment rules learned on hardware (Mosaic faults otherwise): every DMA
+row count and scratch allocation is a multiple of 8 sublanes; stages run
+at a FIXED row count (no shrinking slices) so only sublane-offset *reads*
+occur, which are legal.  Stage s corrupts the 2 rows below its consumed
+halo; with halo_alloc >= 2*nstages the creep never reaches the output rows.
+Tiles overlap by halo_alloc rows of redundant compute so the grid stays
+embarrassingly parallel; overlapping input windows are DMA'd manually
+(BlockSpecs cannot overlap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+HALO_ROWS = 2          # 256-sample halo per stage (taps padded to 257)
+KPAD = 2 * LANE + 1    # padded tap count
+
+
+def _round8(r: int) -> int:
+    return -(-r // 8) * 8
+
+
+def _pad_taps(taps: np.ndarray) -> np.ndarray:
+    k = len(taps)
+    if k > KPAD:
+        raise ValueError(f"cascade kernel supports <= {KPAD} taps, got {k}")
+    # trailing zeros: keeps y[i] aligned with the 256-sample halo exactly
+    return np.concatenate([np.asarray(taps, np.float32),
+                           np.zeros(KPAD - k, np.float32)])
+
+
+def _tap_matrix_np(taps_padded: np.ndarray) -> np.ndarray:
+    """T[j, b] = taps[j - b] for the (R,384)@(384,128) stage matmul."""
+    k = KPAD
+    ncols = k + LANE - 1  # 384
+    j = np.arange(ncols)[:, None]
+    b = np.arange(LANE)[None, :]
+    idx = j - b
+    valid = (idx >= 0) & (idx < k)
+    t = np.where(valid, taps_padded[np.clip(idx, 0, k - 1)], 0.0)
+    return t.astype(np.float32)
+
+
+def _cascade_kernel(x_hbm, t_ref, o_ref, buf, sem, *, nstages: int,
+                    tile_rows: int, halo_alloc: int):
+    i = pl.program_id(0)   # batch row
+    t = pl.program_id(1)   # tile
+    R = tile_rows + halo_alloc          # DMA'd rows (multiple of 8)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[i, pl.ds(t * tile_rows, R), :], buf.at[0:R], sem)
+    dma.start()
+    # zero the overread pad rows while the DMA flies
+    buf[R:] = jnp.zeros((8, LANE), jnp.float32)
+    dma.wait()
+
+    t0 = t_ref[0:LANE]
+    t1 = t_ref[LANE:2 * LANE]
+    t2 = t_ref[2 * LANE:3 * LANE]
+
+    def mm(a, tt):
+        return jax.lax.dot_general(
+            a, tt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    for _ in range(nstages):
+        y = mm(buf[0:R], t0) + mm(buf[1:R + 1], t1) + mm(buf[2:R + 2], t2)
+        buf[:R] = y
+    pre = halo_alloc - nstages * HALO_ROWS
+    o_ref[0] = buf[pre:pre + tile_rows]
+
+
+def fir_cascade(x: jnp.ndarray, taps: np.ndarray, nstages: int,
+                tile_rows: int = 256, interpret: bool = False) -> jnp.ndarray:
+    """Apply ``nstages`` sequential FIRs (same taps) to each row of x.
+
+    Args:
+      x: (batch, n) float32, n a multiple of 128.  Zero history assumed
+         (flowgraph start); each stage produces full-rate output like the
+         reference's chained fir_filter_fff blocks.
+      taps: up to 257 taps (convolution orientation).
+      nstages: number of chained stages.
+      tile_rows: output rows (x128 samples) per grid step (multiple of 8).
+
+    Returns (batch, n) float32.
+    """
+    if x.ndim == 1:
+        return fir_cascade(x[None, :], taps, nstages, tile_rows, interpret)[0]
+    b, n = x.shape
+    assert n % LANE == 0, "stream length must be a multiple of 128"
+    rows = n // LANE
+    tile_rows = min(tile_rows, _round8(rows))
+    ntiles = -(-rows // tile_rows)
+    halo_alloc = _round8(nstages * HALO_ROWS)
+    R = tile_rows + halo_alloc
+
+    # host-side: prepend halo_alloc zero rows, pad tail to the tile grid
+    pad_rows = ntiles * tile_rows - rows
+    xp = jnp.pad(x, ((0, 0), (halo_alloc * LANE, pad_rows * LANE)))
+    x2 = xp.reshape(b, rows + halo_alloc + pad_rows, LANE)
+
+    # reversed taps: the W@T correlation machinery then computes convolution
+    tmat = jnp.asarray(_tap_matrix_np(_pad_taps(taps)[::-1].copy()))
+
+    kern = functools.partial(_cascade_kernel, nstages=nstages,
+                             tile_rows=tile_rows, halo_alloc=halo_alloc)
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, ntiles * tile_rows, LANE),
+                                       jnp.float32),
+        grid=(b, ntiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec((KPAD + LANE - 1, LANE), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_rows, LANE), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R + 8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x2, tmat)
+    return y.reshape(b, -1)[:, :n]

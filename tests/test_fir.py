@@ -291,3 +291,39 @@ class TestDsp:
     def test_control_loop_gains(self):
         a, b = dsp.control_loop_gains(0.1)
         assert 0 < b < a < 1
+
+
+class TestPallasCascade:
+    """Pallas kernel vs composed XLA FIR (tier-1 kernel-vs-reference QA,
+    run in interpreter mode on CPU)."""
+
+    @pytest.mark.parametrize("k,nst,tile", [(256, 16, 8), (256, 2, 16),
+                                            (64, 5, 8), (17, 1, 8)])
+    def test_vs_xla(self, k, nst, tile):
+        from grtpu.ops.pallas_fir import fir_cascade
+
+        x = RNG.randn(2, 1024).astype(np.float32)
+        taps = (RNG.randn(k) * 0.1).astype(np.float32)
+        y = np.asarray(fir_cascade(jnp.asarray(x), taps, nst,
+                                   tile_rows=tile, interpret=True))
+        ref = x.copy()
+        for _ in range(nst):
+            out = []
+            for row in ref:
+                xh = np.concatenate([np.zeros(k - 1, np.float32), row])
+                out.append(np.asarray(fir_filter(jnp.asarray(xh),
+                                                 jnp.asarray(taps), 1)))
+            ref = np.stack(out)
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(y - ref).max() / scale < 1e-5
+
+    def test_1d_input(self):
+        from grtpu.ops.pallas_fir import fir_cascade
+
+        x = RNG.randn(512).astype(np.float32)
+        taps = (RNG.randn(32) * 0.2).astype(np.float32)
+        y = np.asarray(fir_cascade(jnp.asarray(x), taps, 1,
+                                   tile_rows=8, interpret=True))
+        xh = np.concatenate([np.zeros(31, np.float32), x])
+        ref = np.asarray(fir_filter(jnp.asarray(xh), jnp.asarray(taps), 1))
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
