@@ -198,3 +198,62 @@ class TestUtils:
         mag = np.abs(h)
         assert mag[(w > 6500) & (w < 9500)].min() > 0.9
         assert mag[w < 3500].max() < 0.01 * 4
+
+
+class TestNativeRing:
+    def test_ring_roundtrip(self):
+        from grtpu.io.native import RingBuffer, available
+
+        if not available():
+            pytest.skip("no native compiler")
+        rb = RingBuffer(1 << 16)
+        data = bytes(RNG.randint(0, 256, 100000).astype(np.uint8))
+        written = 0
+        out = bytearray()
+        while written < len(data) or rb.readable:
+            if written < len(data):
+                written += rb.write(data[written:written + 8192])
+            out.extend(rb.read(4096))
+        assert bytes(out) == data
+
+    def test_wraparound_linearity(self):
+        """The double-map property: reads crossing the physical end are
+        contiguous (the whole point of the vmcircbuf trick)."""
+        from grtpu.io.native import RingBuffer, available
+
+        if not available():
+            pytest.skip("no native compiler")
+        rb = RingBuffer(4096)
+        cap = rb.capacity
+        # advance pointers near the end, then write across the boundary
+        rb.write(b"x" * (cap - 100))
+        rb.read(cap - 100)
+        payload = bytes(range(200))
+        rb.write(payload)
+        assert rb.read(200) == payload
+
+    def test_file_pump(self, tmp_path):
+        from grtpu.io.native import FilePump, RingBuffer, available
+
+        if not available():
+            pytest.skip("no native compiler")
+        import time
+        path = str(tmp_path / "cap.bin")
+        x = (RNG.randn(65536) + 1j * RNG.randn(65536)).astype(np.complex64)
+        x.tofile(path)
+        rb = RingBuffer(1 << 20)
+        pump = FilePump(rb, path)
+        got = []
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            arr = rb.read_items(8192, np.complex64)
+            if arr is not None:
+                got.append(arr)
+            elif rb.eof and rb.readable < 8192 * 8:
+                break
+            else:
+                time.sleep(0.001)
+        pump.stop()
+        full = np.concatenate(got)
+        np.testing.assert_array_equal(full, x[: len(full)])
+        assert len(full) == 65536
