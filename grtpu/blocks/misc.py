@@ -1,0 +1,301 @@
+"""Remaining general-library blocks.
+
+Analogs (SURVEY.md §2.4 stragglers): gr_nlog10_ff, gr_transcendental,
+gr_wavelet_ff (Haar DWT stand-in for the gsl wavelet), gr_burst_tagger,
+gr_annotator_{1to1,alltoall}, gr_probe_density_b, gr_probe_mpsk_snr_c,
+gr_bin_statistics_f, gr_ctcss_squelch_ff, standard_squelch (blks2impl),
+gr_cpfsk_bc, gr_dpll_bb, gr_test (misbehaving-block fixture).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grtpu.runtime.block import Block, Port
+from grtpu.ops import dsp
+
+
+class NLog10(Block):
+    """gr_nlog10_ff: out = n*log10(x) + k."""
+
+    def __init__(self, n: float = 10.0, k: float = 0.0, vlen: int = 1,
+                 name=None):
+        self.in_ports = (Port(jnp.float32, vlen),)
+        self.out_ports = (Port(jnp.float32, vlen),)
+        super().__init__(name)
+        self.n, self.k = n, k
+
+    def apply(self, state, x):
+        return state, self.n * jnp.log10(jnp.maximum(x, 1e-30)) + self.k
+
+
+class Transcendental(Block):
+    """gr_transcendental: apply a named math function elementwise."""
+
+    _FNS = {"sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "exp": jnp.exp,
+            "log": jnp.log, "sqrt": jnp.sqrt, "tanh": jnp.tanh,
+            "sinh": jnp.sinh, "cosh": jnp.cosh}
+
+    def __init__(self, fn_name: str, dtype=jnp.float32, name=None):
+        self.in_ports = (Port(dtype),)
+        self.out_ports = (Port(dtype),)
+        super().__init__(name)
+        self.fn = self._FNS[fn_name]
+
+    def apply(self, state, x):
+        return state, self.fn(x)
+
+
+class WaveletFF(Block):
+    """gr_wavelet_ff analog: per-vector orthogonal DWT (Haar cascade;
+    the reference wraps gsl's Daubechies family)."""
+
+    def __init__(self, size: int, levels: int = 1, name=None):
+        assert size % (1 << levels) == 0
+        self.in_ports = (Port(jnp.float32, size),)
+        self.out_ports = (Port(jnp.float32, size),)
+        super().__init__(name)
+        self.size, self.levels = size, levels
+
+    def apply(self, state, x):
+        out = x
+        n = self.size
+        s = 1 / np.sqrt(2)
+        for _ in range(self.levels):
+            lo = (out[:, 0:n:2] + out[:, 1:n:2]) * s
+            hi = (out[:, 0:n:2] - out[:, 1:n:2]) * s
+            out = jnp.concatenate([lo, hi, out[:, n:]], axis=1)
+            n //= 2
+        return state, out
+
+
+class BurstTagger(Block):
+    """gr_burst_tagger: second (magnitude) input gates burst start/end;
+    emits the gated state stream (tag generation happens host-side from
+    the transition stream)."""
+
+    def __init__(self, threshold: float = 0.5, dtype=jnp.complex64, name=None):
+        self.in_ports = (Port(dtype), Port(jnp.float32))
+        self.out_ports = (Port(dtype), Port(jnp.uint8))
+        super().__init__(name)
+        self.threshold = threshold
+
+    def apply(self, state, x, mag):
+        active = (mag > self.threshold).astype(jnp.uint8)
+        return state, (x, active)
+
+
+class Annotator(Block):
+    """gr_annotator_1to1 / alltoall: pass-through tag-propagation probe."""
+
+    def __init__(self, policy: str = "one_to_one", dtype=jnp.float32, name=None):
+        self.in_ports = (Port(dtype),)
+        self.out_ports = (Port(dtype),)
+        self.tag_propagation = policy
+        super().__init__(name)
+
+    def apply(self, state, x):
+        return state, x
+
+
+class ProbeDensity(Block):
+    """gr_probe_density_b: IIR-averaged density of 1-bits."""
+
+    def __init__(self, alpha: float = 0.01, name=None):
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = ()
+        super().__init__(name)
+        self.alpha = alpha
+        self.captured = None
+
+    def init_state(self):
+        return jnp.zeros((), jnp.float32)
+
+    def apply(self, state, x):
+        _, st = dsp.single_pole_iir(x.astype(jnp.float32), state, self.alpha)
+        return st, ()
+
+    def density(self):
+        if self.captured is None:
+            return 0.0
+        x = np.asarray(self.captured[0]).astype(np.float64)
+        acc = 0.0
+        for v in x:
+            acc = self.alpha * v + (1 - self.alpha) * acc
+        return acc
+
+
+class ProbeMpskSnr(Block):
+    """gr_probe_mpsk_snr_c: SNR estimate from mean/variance of |x|."""
+
+    def __init__(self, alpha: float = 0.001, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = ()
+        super().__init__(name)
+        self.alpha = alpha
+        self.captured = None
+
+    def apply(self, state, x):
+        return state, ()
+
+    def snr_db(self):
+        if self.captured is None:
+            return 0.0
+        m = np.abs(np.asarray(self.captured[0]))
+        sig = m.mean() ** 2
+        noise = m.var()
+        return 10 * np.log10(max(sig, 1e-20) / max(noise, 1e-20))
+
+
+class BinStatistics(Block):
+    """gr_bin_statistics_f analog: per-vector max-hold / mean statistics
+    across a run (spectrum-survey accumulator, polled after run)."""
+
+    def __init__(self, vlen: int, name=None):
+        self.in_ports = (Port(jnp.float32, vlen),)
+        self.out_ports = ()
+        super().__init__(name)
+        self.captured = None
+
+    def apply(self, state, x):
+        return state, ()
+
+    def max_hold(self):
+        return None if self.captured is None else \
+            np.asarray(self.captured[0]).max(axis=0)
+
+    def mean(self):
+        return None if self.captured is None else \
+            np.asarray(self.captured[0]).mean(axis=0)
+
+
+class CtcssSquelch(Block):
+    """gr_ctcss_squelch_ff: gate audio on presence of a CTCSS sub-audible
+    tone (Goertzel power at the tone vs neighbors), block-granular gate."""
+
+    def __init__(self, rate: float, freq: float, level: float = 0.01,
+                 block: int = 1024, name=None):
+        self.in_ports = (Port(jnp.float32),)
+        self.out_ports = (Port(jnp.float32),)
+        self.decim = 1
+        super().__init__(name)
+        self.rate, self.freq, self.level, self.block = rate, freq, level, block
+
+    def _goertzel_power(self, xb, freq):
+        n = xb.shape[1]
+        k = freq * n / self.rate
+        w = jnp.exp(-2j * np.pi * k / n * jnp.arange(n))
+        return jnp.abs((xb * w[None, :]).sum(axis=1)) ** 2 / n
+
+    def apply(self, state, x):
+        nb = x.shape[0] // self.block
+        xb = x[: nb * self.block].reshape(nb, self.block)
+        p_tone = self._goertzel_power(xb, self.freq)
+        p_ref = (xb ** 2).sum(axis=1) + 1e-12
+        open_ = (p_tone / p_ref) > self.level
+        gate = jnp.repeat(open_.astype(jnp.float32), self.block)
+        gate = jnp.concatenate(
+            [gate, jnp.zeros(x.shape[0] - gate.shape[0], jnp.float32)])
+        return state, x * gate
+
+
+class StandardSquelch(Block):
+    """blks2impl/standard_squelch.py: voice-band vs high-band power ratio
+    gates the audio (single-pole averaged)."""
+
+    def __init__(self, audio_rate: float, threshold: float = 1.0, name=None):
+        self.in_ports = (Port(jnp.float32),)
+        self.out_ports = (Port(jnp.float32),)
+        self.history = 3
+        super().__init__(name)
+        self.alpha = 1.0 / (0.01 * audio_rate)
+        self.threshold = threshold
+
+    def init_state(self):
+        return (jnp.zeros(()), jnp.zeros(()))
+
+    def apply(self, state, x):
+        n = x.shape[0] - 2
+        # crude band split: low = 3-tap smooth, high = first difference
+        low = (x[:-2] + x[1:-1] + x[2:]) / 3
+        high = (x[2:] - x[:-2]) / 2
+        lp, st1 = dsp.single_pole_iir(low ** 2, state[0], self.alpha)
+        hp, st2 = dsp.single_pole_iir(high ** 2, state[1], self.alpha)
+        gate = (lp > self.threshold * hp).astype(jnp.float32)
+        return (st1, st2), x[2:] * gate
+
+
+class Cpfsk(Block):
+    """gr_cpfsk_bc: continuous-phase FSK bits -> complex."""
+
+    def __init__(self, k: float, amplitude: float = 1.0,
+                 samples_per_symbol: int = 2, name=None):
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = (Port(jnp.complex64),)
+        self.interp = samples_per_symbol
+        super().__init__(name)
+        self.sps = samples_per_symbol
+        self.amp = amplitude
+        self.sens = np.pi * k / samples_per_symbol
+
+    def init_state(self):
+        return jnp.zeros((), jnp.float32)
+
+    def apply(self, state, x):
+        nrz = x.astype(jnp.float32) * 2 - 1
+        up = jnp.repeat(nrz, self.sps)
+        y, ph = dsp.frequency_modulator(up, state, self.sens)
+        return ph, (self.amp * y).astype(jnp.complex64)
+
+
+class DpllBB(Block):
+    """gr_dpll_bb: digital PLL bit synchronizer over pulse stream."""
+
+    def __init__(self, period: float, gain: float = 0.1, name=None):
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = (Port(jnp.uint8),)
+        super().__init__(name)
+        self.period, self.gain = period, gain
+
+    def init_state(self):
+        return (jnp.asarray(self.period / 2, jnp.float32),)
+
+    def apply(self, state, x):
+        period, gain = self.period, self.gain
+
+        def f(phase, xi):
+            phase = phase + 1.0
+            fire = phase >= period
+            phase = jnp.where(fire, phase - period, phase)
+            # pull phase toward input pulses
+            phase = jnp.where(xi > 0, phase - gain * (phase - period / 2),
+                              phase)
+            return phase, jnp.where(fire, 1, 0).astype(jnp.uint8)
+
+        ph, y = jax.lax.scan(f, state[0], x)
+        return (ph,), y
+
+
+class GrTest(Block):
+    """gr_test-style misbehaving-block fixture: configurable wrong output
+    counts / NaN injection for executor robustness tests."""
+
+    def __init__(self, produce_extra: int = 0, inject_nan: bool = False,
+                 name=None):
+        self.in_ports = (Port(jnp.float32),)
+        self.out_ports = (Port(jnp.float32),)
+        super().__init__(name)
+        self.produce_extra = produce_extra
+        self.inject_nan = inject_nan
+
+    def apply(self, state, x):
+        y = x
+        if self.inject_nan:
+            y = y.at[0].set(jnp.nan)
+        if self.produce_extra:
+            y = jnp.concatenate([y, jnp.zeros(self.produce_extra, y.dtype)])
+        return state, y

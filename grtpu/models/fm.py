@@ -16,7 +16,7 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-from grtpu.runtime.block import Port
+from grtpu.runtime.block import Block, Port
 from grtpu.runtime.graph import Graph, HierBlock
 from grtpu.blocks.analog import QuadratureDemod, FrequencyModulator
 from grtpu.blocks.filter import FirFilter, IirFilter, InterpFirFilter
@@ -182,3 +182,89 @@ class AmDemod(HierBlock):
         o = self.graph.add_output(Port(jnp.float32))
         self.graph.connect(i, ComplexToMag(), DcBlocker(1024, False),
                            FirFilter(audio_decim, audio_taps, "fff"), o)
+
+
+class _StereoCarrier(Block):
+    """Recover the 38 kHz stereo subcarrier by squaring the normalized
+    19 kHz pilot's analytic signal (the PLL-doubled carrier of
+    wfm_rcv_pll.py, done as a vectorized phase doubler)."""
+
+    def __init__(self, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        super().__init__(name)
+
+    def apply(self, state, x):
+        n = x / jnp.maximum(jnp.abs(x), 1e-9)
+        return state, (n * n).astype(jnp.complex64)
+
+
+class _MixReal(Block):
+    """out = composite * sin(2*w_pilot*t) * 2 — the DSB-SC stereo mixer.
+
+    The analytic pilot sin(wt) squares to -e^{2jwt}, so the in-phase 38 kHz
+    reference sin(2wt) is -imag of the squared carrier."""
+
+    def __init__(self, name=None):
+        self.in_ports = (Port(jnp.float32), Port(jnp.complex64))
+        self.out_ports = (Port(jnp.float32),)
+        super().__init__(name)
+
+    def apply(self, state, comp, carrier):
+        return state, comp * (-jnp.imag(carrier)) * 2.0
+
+
+class WfmRcvPll(HierBlock):
+    """Stereo broadcast FM receiver (blks2impl/wfm_rcv_pll.py).
+
+    quad demod -> composite; pilot band-pass -> analytic -> squared ->
+    38 kHz carrier; (L+R) lowpass and (L-R) = composite x carrier lowpass;
+    outputs (left, right) after deemphasis.
+    """
+
+    def __init__(self, quad_rate: float, audio_decimation: int, name=None):
+        super().__init__(name)
+        from grtpu.blocks.filter import FilterDelay
+        from grtpu.blocks.gengen import Add, Sub
+        import numpy as _np
+
+        max_dev = 75e3
+        gain = quad_rate / (2 * math.pi * max_dev)
+        audio_rate = quad_rate / audio_decimation
+
+        i = self.graph.add_input(Port(jnp.complex64))
+        o_l = self.graph.add_output(Port(jnp.float32))
+        o_r = self.graph.add_output(Port(jnp.float32))
+
+        demod = QuadratureDemod(gain)
+        # pilot: band-pass 18.8-19.2k as analytic signal (filter + Hilbert
+        # pair in one complex filter)
+        pilot_taps = firdes.complex_band_pass(
+            1.0, quad_rate, 18.6e3, 19.4e3, 0.6e3)
+        from grtpu.blocks.filter import FirFilter
+        pilot = FirFilter(1, pilot_taps, "ccc", name=None, impl="mxu")
+        # complex input expected: route composite through float->complex
+        from grtpu.blocks.convert import FloatToComplex
+        f2c = FloatToComplex(1)
+        carrier = _StereoCarrier()
+        mix = _MixReal()
+
+        audio_taps = firdes.low_pass(1.0, quad_rate, 15e3, 4e3)
+        sum_filter = FirFilter(audio_decimation, audio_taps, "fff")
+        diff_filter = FirFilter(audio_decimation, audio_taps, "fff")
+        add = Add(dtype=jnp.float32, nin=2)
+        sub = Sub(dtype=jnp.float32, nin=2)
+        deemph_l = FmDeemph(audio_rate)
+        deemph_r = FmDeemph(audio_rate)
+
+        self.graph.connect(i, demod)
+        self.graph.connect(demod, f2c, pilot, carrier, (mix, 1))
+        self.graph.connect(demod, (mix, 0))
+        self.graph.connect(demod, sum_filter)
+        self.graph.connect(mix, diff_filter)
+        self.graph.connect(sum_filter, (add, 0))
+        self.graph.connect(diff_filter, (add, 1))
+        self.graph.connect(sum_filter, (sub, 0))
+        self.graph.connect(diff_filter, (sub, 1))
+        self.graph.connect(add, deemph_l, o_l)
+        self.graph.connect(sub, deemph_r, o_r)

@@ -1,0 +1,208 @@
+"""FLEX pager layer, misc general blocks, stereo WFM tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtpu import Graph, StreamExecutor
+from grtpu.runtime.block import Port
+from grtpu.blocks.gengen import VectorSink
+from grtpu.models import pager
+
+RNG = np.random.RandomState(44)
+
+
+class TestBch:
+    def test_encode_decode_clean(self):
+        for _ in range(20):
+            info = int(RNG.randint(0, 1 << 21))
+            cw = pager._bch_encode_word(info)
+            dec, nerr = pager.bch_decode_word(cw)
+            assert dec == info and nerr == 0
+
+    def test_corrects_two_errors(self):
+        info = 0x123456 & 0x1FFFFF
+        cw = pager._bch_encode_word(info)
+        for e in [(3,), (7, 22), (0, 30)]:
+            bad = cw
+            for b in e:
+                bad ^= 1 << b
+            dec, nerr = pager.bch_decode_word(bad)
+            assert dec == info and nerr == len(e)
+
+    def test_parity(self):
+        info = 0x0ABCDE & 0x1FFFFF
+        w = pager.flex_encode_word(info)
+        assert bin(w).count("1") % 2 == 0
+
+
+class TestFlexFrame:
+    def test_interleave_roundtrip(self):
+        words = RNG.randint(0, 1 << 32, 8).astype(np.uint64)
+        bits = pager.flex_interleave(words)
+        back = pager.flex_deinterleave(bits)
+        np.testing.assert_array_equal(back, words)
+
+    def test_end_to_end_frame(self):
+        """Synthesize a FLEX-style block: sync + interleaved BCH words with
+        channel bit errors -> sync, deinterleave, decode, parse message."""
+        msg = "HELLO TPU"
+        data_words = pager.pack_alpha(msg)
+        data_words += [0] * (8 - len(data_words))
+        coded = np.array([pager.flex_encode_word(w) for w in data_words],
+                         np.uint64)
+        bits = np.concatenate([
+            RNG.randint(0, 2, 37),  # leading noise
+            np.array([(pager.FLEX_SYNC_1600 >> (31 - i)) & 1
+                      for i in range(32)], np.uint8),
+            pager.flex_interleave(coded),
+        ]).astype(np.uint8)
+        # channel: flip a couple of bits inside the payload
+        bits[100] ^= 1
+        bits[150] ^= 1
+        start = pager.find_sync(bits)
+        assert start == 37 + 32
+        words = pager.flex_deinterleave(bits[start:start + 256])
+        infos = []
+        for w in words:
+            info, nerr = pager.flex_decode_word(int(w))
+            assert info is not None
+            infos.append(info)
+        assert pager.parse_alpha(infos).rstrip("\x00").startswith(msg)
+
+    def test_slicer(self):
+        from grtpu.models.pager import PagerSlicer
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        sink = VectorSink(jnp.uint8)
+        g.connect(pin, PagerSlicer(), sink)
+        ex = StreamExecutor(g, chunk_size=4)
+        x = np.array([1.0, 0.33, -0.33, -1.0], np.float32)
+        ex.run(jnp.asarray(x))
+        np.testing.assert_array_equal(sink.data(), [0b10, 0b11, 0b01, 0b00])
+
+
+class TestMiscBlocks:
+    def test_nlog10(self):
+        from grtpu.blocks.misc import NLog10
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        sink = VectorSink(jnp.float32)
+        g.connect(pin, NLog10(10.0, 0.0), sink)
+        ex = StreamExecutor(g, chunk_size=4)
+        ex.run(jnp.asarray(np.array([1.0, 10.0, 100.0, 0.1], np.float32)))
+        np.testing.assert_allclose(sink.data(), [0, 10, 20, -10], atol=1e-4)
+
+    def test_wavelet_haar_energy(self):
+        from grtpu.blocks.misc import WaveletFF
+        from grtpu.blocks.stream import StreamToVector
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        sink = VectorSink(jnp.float32, vlen=8)
+        g.connect(pin, StreamToVector(jnp.float32, 8), WaveletFF(8, 2), sink)
+        ex = StreamExecutor(g, chunk_size=16)
+        x = RNG.randn(16).astype(np.float32)
+        ex.run(jnp.asarray(x))
+        y = sink.data()
+        # orthogonal transform preserves energy
+        np.testing.assert_allclose((y ** 2).sum(), (x ** 2).sum(), rtol=1e-5)
+
+    def test_probe_mpsk_snr(self):
+        from grtpu.blocks.misc import ProbeMpskSnr
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        probe = ProbeMpskSnr()
+        g.connect(pin, probe)
+        ex = StreamExecutor(g, chunk_size=1024)
+        syms = (RNG.randint(0, 2, 4096) * 2 - 1).astype(np.complex64)
+        noisy = syms + 0.1 * (RNG.randn(4096) + 1j * RNG.randn(4096))
+        ex.run(jnp.asarray(noisy.astype(np.complex64)))
+        snr = probe.snr_db()
+        # magnitude-based estimator sees only the radial noise component
+        # (+3 dB optimistic, same bias as the reference's probe): true 17 dB
+        assert 18.5 < snr < 22
+
+    def test_cpfsk_phase_continuity(self):
+        from grtpu.blocks.misc import Cpfsk
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.uint8))
+        sink = VectorSink(jnp.complex64)
+        g.connect(pin, Cpfsk(0.5, 1.0, 4), sink)
+        ex = StreamExecutor(g, chunk_size=16)
+        bits = RNG.randint(0, 2, 64).astype(np.uint8)
+        ex.run(jnp.asarray(bits))
+        y = sink.data()
+        np.testing.assert_allclose(np.abs(y), 1.0, atol=1e-5)
+        dphi = np.abs(np.diff(np.unwrap(np.angle(y))))
+        assert dphi.max() < np.pi / 4 + 1e-3  # continuous phase
+
+    def test_ctcss_squelch(self):
+        from grtpu.blocks.misc import CtcssSquelch
+
+        fs = 8000.0
+        n = 4096
+        t = np.arange(n) / fs
+        voice = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        tone = 0.15 * np.sin(2 * np.pi * 100.0 * t).astype(np.float32)
+
+        def run(sig):
+            g = Graph()
+            pin = g.add_input(Port(jnp.float32))
+            sink = VectorSink(jnp.float32)
+            g.connect(pin, CtcssSquelch(fs, 100.0, 0.005, 1024), sink)
+            ex = StreamExecutor(g, chunk_size=2048)
+            ex.run(jnp.asarray(sig))
+            return sink.data()
+
+        with_tone = run((voice + tone).astype(np.float32))
+        without = run(voice)
+        assert np.abs(with_tone).mean() > 0.3   # gate open
+        assert np.abs(without).mean() < 0.05    # gate closed
+
+
+class TestStereoWfm:
+    def test_stereo_separation(self):
+        from grtpu.models.fm import WfmRcvPll
+        from grtpu.ops import dsp
+
+        quad_rate = 256_000.0
+        decim = 8
+        audio_rate = quad_rate / decim
+        n = 1 << 15
+        t = np.arange(n) / quad_rate
+        left = 0.4 * np.sin(2 * np.pi * 700 * t)
+        right = 0.4 * np.sin(2 * np.pi * 2200 * t)
+        pilot = 0.1 * np.sin(2 * np.pi * 19000 * t)
+        sub = (left - right) * np.sin(2 * np.pi * 38000 * t)
+        composite = ((left + right) / 2 + pilot + sub / 2).astype(np.float32)
+        iq, _ = dsp.frequency_modulator(
+            jnp.asarray(composite), jnp.float32(0.0),
+            2 * np.pi * 75e3 / quad_rate)
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        rcv = WfmRcvPll(quad_rate, decim)
+        sl = VectorSink(jnp.float32, name="sl")
+        sr = VectorSink(jnp.float32, name="sr")
+        g.connect(pin, rcv)
+        g.connect((rcv, 0), sl)
+        g.connect((rcv, 1), sr)
+        ex = StreamExecutor(g, chunk_size=8192)
+        ex.run(iq)
+        L = sl.data()[2000:]
+        R = sr.data()[2000:]
+
+        def band_power(sig, f):
+            spec = np.abs(np.fft.rfft(sig * np.hanning(len(sig)))) ** 2
+            freqs = np.fft.rfftfreq(len(sig), 1 / audio_rate)
+            band = (freqs > f - 100) & (freqs < f + 100)
+            return spec[band].sum()
+
+        # left channel: 700 Hz dominates 2200 Hz, and vice versa
+        assert band_power(L, 700) > 4 * band_power(L, 2200)
+        assert band_power(R, 2200) > 4 * band_power(R, 700)
