@@ -257,3 +257,95 @@ class TestNativeRing:
         full = np.concatenate(got)
         np.testing.assert_array_equal(full, x[: len(full)])
         assert len(full) == 65536
+
+
+class TestGrcCompiler:
+    def _spec(self):
+        from grtpu.grc import FlowgraphSpec
+
+        return FlowgraphSpec.from_dict({
+            "options": {"chunk_size": 1024},
+            "blocks": [
+                {"id": "src", "key": "gr_sig_source_x",
+                 "params": {"sampling_freq": 8000.0, "waveform": "cos",
+                            "frequency": 1000.0}},
+                {"id": "sq", "key": "gr_multiply_xx",
+                 "params": {"dtype": "float32", "nin": 2}},
+                {"id": "snk", "key": "gr_vector_sink_x",
+                 "params": {"dtype": "float32"}},
+            ],
+            "connections": [["src", 0, "sq", 0], ["src", 0, "sq", 1],
+                            ["sq", 0, "snk", 0]],
+        })
+
+    def test_build_and_run(self):
+        spec = self._spec()
+        g, byid = spec.build()
+        ex = StreamExecutor(g, chunk_size=1024)
+        ex.run(steps=2)
+        y = byid["snk"].data()
+        # cos^2 has mean 1/2
+        assert abs(y.mean() - 0.5) < 0.01
+
+    def test_generate_script_runs(self, tmp_path):
+        from grtpu.grc import generate_script
+
+        src = generate_script(self._spec())
+        ns = {}
+        exec(compile(src, "<fg>", "exec"), ns)
+        ns["ex"].run(steps=2)
+        y = ns["blocks"]["snk"].data()
+        assert abs(y.mean() - 0.5) < 0.01
+
+    def test_yaml_example(self):
+        from grtpu.grc import load_flowgraph
+
+        spec = load_flowgraph("examples/dial_tone.yml")
+        g, byid = spec.build()
+        ex = StreamExecutor(g, chunk_size=spec.options["chunk_size"])
+        ex.run(steps=4)
+        y = byid["out"].data()
+        spec_f = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        freqs = np.fft.rfftfreq(len(y), 1 / 32000.0)
+        peaks = freqs[np.argsort(spec_f)[-6:]]
+        assert any(abs(p - 350) < 20 for p in peaks)
+        assert any(abs(p - 440) < 20 for p in peaks)
+
+
+class TestUtilsExtra:
+    def test_prefs_env_override(self, monkeypatch):
+        from grtpu.utils.prefs import Prefs
+
+        monkeypatch.setenv("GRTPU_RUNTIME_CHUNK_SIZE", "8192")
+        p = Prefs(paths=[])
+        assert p.get_long("runtime", "chunk_size", 1024) == 8192
+        assert p.get_long("runtime", "missing", 7) == 7
+        monkeypatch.setenv("GRTPU_RUNTIME_VERBOSE", "true")
+        assert p.get_bool("runtime", "verbose") is True
+
+    def test_pref_store_roundtrip(self, tmp_path, monkeypatch):
+        import grtpu.utils.prefs as prefs_mod
+
+        monkeypatch.setattr(prefs_mod, "_store_dir",
+                            lambda: str(tmp_path))
+        prefs_mod.set_pref("vmcircbuf_default_factory", "mmap")
+        assert prefs_mod.get_pref("vmcircbuf_default_factory") == "mmap"
+        assert prefs_mod.get_pref("nope", "dflt") == "dflt"
+
+    def test_run_block_helper(self):
+        from grtpu.blocks.gengen import MultiplyConst
+        from grtpu.utils.testing import run_block
+
+        y = run_block(MultiplyConst(3.0), np.arange(32, dtype=np.float32))
+        np.testing.assert_allclose(y, np.arange(32) * 3.0)
+
+    def test_plot_cli(self, tmp_path):
+        from grtpu.utils import plot as plotmod
+
+        x = (RNG.randn(4096) + 1j * RNG.randn(4096)).astype(np.complex64)
+        p = str(tmp_path / "c.cfile")
+        x.tofile(p)
+        out = str(tmp_path / "psd.png")
+        plotmod.main(["psd", p, "--rate", "1e6", "--out", out])
+        import os
+        assert os.path.getsize(out) > 5000
