@@ -203,3 +203,44 @@ def _best_ber(sent, got, max_shift=16, settle=0):
         if err < best:
             best, bshift = err, s
     return best, bshift
+
+
+class TestEqualizers:
+    def test_cma_opens_eye(self):
+        """CMA on a QPSK stream through a mild channel: output modulus
+        error must shrink vs the unequalized input."""
+        from grtpu.digital.equalizers import cma_equalize, center_spike_taps
+
+        c = constellation_qpsk()
+        syms = c.points[RNG.randint(0, 4, 6000)].astype(np.complex64)
+        h = np.array([1.0, 0.0, 0.25 - 0.12j], np.complex64)
+        rx = np.convolve(syms, h)[: len(syms)].astype(np.complex64)
+        ntaps = 11
+        xh = jnp.concatenate([jnp.zeros(ntaps - 1, jnp.complex64),
+                              jnp.asarray(rx)])
+        y, taps = cma_equalize(xh, jnp.asarray(center_spike_taps(ntaps)),
+                               1.0, 0.005)
+        y = np.asarray(y)
+        before = np.abs(np.abs(rx[3000:]) ** 2 - 1.0).mean()
+        after = np.abs(np.abs(y[3000:]) ** 2 - 1.0).mean()
+        assert after < before * 0.5, (before, after)
+
+    def test_lms_dd_converges(self):
+        from grtpu.digital.equalizers import lms_dd_equalize, center_spike_taps
+
+        c = constellation_qpsk()
+        syms = c.points[RNG.randint(0, 4, 6000)].astype(np.complex64)
+        h = np.array([1.0, 0.2 + 0.1j], np.complex64)
+        rx = np.convolve(syms, h)[: len(syms)].astype(np.complex64)
+        ntaps = 9
+        xh = jnp.concatenate([jnp.zeros(ntaps - 1, jnp.complex64),
+                              jnp.asarray(rx)])
+        y, taps = lms_dd_equalize(xh, jnp.asarray(center_spike_taps(ntaps)),
+                                  jnp.asarray(c.points), 0.01)
+        y = np.asarray(y)[4000:]
+        dec = np.asarray(c.decision_maker(jnp.asarray(y)))
+        evm = np.abs(y - c.points[dec]).mean()
+        # unequalized EVM
+        dec0 = np.asarray(c.decision_maker(jnp.asarray(rx[4000:])))
+        evm0 = np.abs(rx[4000:] - c.points[dec0]).mean()
+        assert evm < evm0 * 0.5, (evm0, evm)
