@@ -92,22 +92,32 @@ def phase_modulator(x: jnp.ndarray, sensitivity: float):
 
 
 # ------------------------------------------------------------------- IIR
+def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray, y0):
+    """Solve y[i] = a[i]*y[i-1] + b[i] with y[-1] = y0, fully parallel.
+
+    The affine maps (a_i, b_i) compose associatively:
+        (a2, b2) o (a1, b1) = (a2*a1, a2*b1 + b2)
+    so the whole chunk solves in log-depth via ``associative_scan`` —
+    the TPU-native form of every first-order IIR (the reference's
+    per-sample loops in gri_single_pole_iir / gri_iir).
+    Returns (y, y_last)."""
+
+    def comb(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, ar * bl + br
+
+    aa, bb = jax.lax.associative_scan(comb, (a, b))
+    y = aa * y0 + bb
+    return y, y[-1]
+
+
 def single_pole_iir(x: jnp.ndarray, state, alpha: float):
-    """y[i] = alpha*x[i] + (1-alpha)*y[i-1] (gri_single_pole_iir).
-
-    Closed-form via exponential weighting within the chunk (associative scan
-    free): y = filter implemented with lax.scan for exactness; single-pole
-    scans compile to efficient TPU loops, and alpha is typically applied at
-    audio rates where chunk sizes are modest.
-    Returns (y, new_state)."""
-    one_minus = 1.0 - alpha
-
-    def f(carry, xi):
-        y = alpha * xi + one_minus * carry
-        return y, y
-
-    new_state, y = jax.lax.scan(f, state, x)
-    return y, new_state
+    """y[i] = alpha*x[i] + (1-alpha)*y[i-1] (gri_single_pole_iir), computed
+    via the parallel linear-recurrence solver.  Returns (y, new_state)."""
+    a = jnp.full(x.shape, 1.0 - alpha, x.dtype)
+    y, last = linear_recurrence(a, alpha * x, state)
+    return y, last
 
 
 def iir_filter(x: jnp.ndarray, state, fftaps, fbtaps):
@@ -132,6 +142,11 @@ def iir_filter(x: jnp.ndarray, state, fftaps, fbtaps):
     if nfb <= 1:
         y = v
         new_y_hist = y_hist
+    elif nfb == 2:
+        # first-order feedback (deemphasis & friends): parallel solver
+        a = jnp.full(v.shape, fb[1], v.dtype)
+        y, _ = linear_recurrence(a, v, y_hist[-1])
+        new_y_hist = y[-1:][: nfb - 1]
     else:
         fb_r = fb[1:]  # feedback coefficients on y[n-1..]
 
