@@ -1,0 +1,161 @@
+"""TopBlock lifecycle, NOAA deframer, CPM, example apps."""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from grtpu.runtime.top_block import TopBlock
+from grtpu.runtime.block import Port
+from grtpu.runtime.msg import Message
+from grtpu.blocks.gengen import AddConst, MultiplyConst, VectorSink
+
+RNG = np.random.RandomState(66)
+
+ENV = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": "."}
+
+
+class TestTopBlock:
+    def test_run_like_gr(self):
+        tb = TopBlock(chunk_size=32)
+        pin = tb.add_input(Port(jnp.float32))
+        sink = VectorSink()
+        tb.connect(pin, AddConst(1.0), sink)
+        x = np.arange(64, dtype=np.float32)
+        tb.run(jnp.asarray(x))
+        np.testing.assert_allclose(sink.data(), x + 1)
+
+    def test_lock_unlock_preserves_state(self):
+        from grtpu.blocks.stream import Delay
+
+        tb = TopBlock(chunk_size=16)
+        pin = tb.add_input(Port(jnp.float32))
+        d = Delay(4)
+        sink = VectorSink()
+        tb.connect(pin, d, sink)
+        x = RNG.randn(32).astype(np.float32)
+        tb.run(jnp.asarray(x[:16]))
+        tb.lock()
+        tb.unlock()  # rebuild; delay line state must survive
+        tb.run(jnp.asarray(x[16:]))
+        full = np.concatenate([np.asarray(v) for v in
+                               [sink.captured[0]]])
+        # second run's first 4 samples are the delayed tail of the first
+        np.testing.assert_allclose(full[:4], x[12:16])
+
+    def test_msg_handler(self):
+        tb = TopBlock(chunk_size=8)
+        pin = tb.add_input(Port(jnp.float32))
+        sink = VectorSink()
+        tb.connect(pin, sink)
+        got = []
+        tb.set_msg_handler(sink.name, lambda m: got.append(m.payload))
+        tb.post_msg(sink.name, Message(payload=b"hello"))
+        tb.run(jnp.zeros(8, jnp.float32))
+        assert got == [b"hello"]
+
+
+class TestNoaa:
+    def test_deframe_roundtrip(self):
+        from grtpu.models import noaa
+
+        words = RNG.randint(0, 1024, noaa.HRPT_MINOR_FRAME_WORDS)
+        words[:6] = noaa.HRPT_SYNC_WORDS
+        bits = noaa.encode_words(words)
+        stream = np.concatenate([RNG.randint(0, 2, 137).astype(np.uint8),
+                                 bits,
+                                 RNG.randint(0, 2, 64).astype(np.uint8)])
+        frames = noaa.deframe(stream)
+        assert len(frames) == 1
+        np.testing.assert_array_equal(frames[0], words)
+
+    def test_deframe_with_bit_errors(self):
+        from grtpu.models import noaa
+
+        words = RNG.randint(0, 1024, noaa.HRPT_MINOR_FRAME_WORDS)
+        words[:6] = noaa.HRPT_SYNC_WORDS
+        bits = noaa.encode_words(words)
+        bits[3] ^= 1  # error inside the sync word
+        frames = noaa.deframe(bits)
+        assert len(frames) == 1
+
+
+class TestCpm:
+    @pytest.mark.parametrize("shape", ["LREC", "LRC", "GAUSSIAN"])
+    def test_unit_modulus_and_phase_rate(self, shape):
+        from grtpu.digital.cpm import CpmModulator
+
+        mod = CpmModulator(shape, h=0.5, samples_per_sym=4, L=2, M=2,
+                           beta=0.3)
+        syms = RNG.randint(0, 2, 200)
+        y = np.asarray(mod.modulate(syms))
+        np.testing.assert_allclose(np.abs(y), 1.0, atol=1e-5)
+        # total phase advance over a long run of identical symbols ~ pi*h/sym
+        run = np.asarray(mod.modulate(np.ones(64, np.int32)))
+        dphi = np.unwrap(np.angle(run))
+        per_sym = (dphi[-1] - dphi[16]) / ((len(run) - 17) / 4)
+        np.testing.assert_allclose(per_sym, np.pi * 0.5, rtol=0.05)
+
+    def test_msk_equals_lrec1(self):
+        """MSK = CPM(LREC, L=1, h=0.5): quadrature demod recovers NRZ."""
+        from grtpu.digital.cpm import CpmModulator
+        from grtpu.ops import dsp
+
+        mod = CpmModulator("LREC", h=0.5, samples_per_sym=8, L=1, M=2)
+        syms = RNG.randint(0, 2, 100)
+        y = mod.modulate(syms)
+        fm = np.asarray(dsp.quadrature_demod(
+            jnp.concatenate([jnp.ones(1, jnp.complex64), y]), 1.0))
+        # frequency sign at symbol centers == NRZ symbols
+        centers = fm[4::8][:100]
+        np.testing.assert_array_equal(centers > 0, syms.astype(bool))
+
+
+class TestExampleApps:
+    def test_benchmark_tx_rx_gmsk(self):
+        r = subprocess.run(
+            [sys.executable, "examples/benchmark_tx_rx.py",
+             "--modulation", "gmsk", "--snr", "15", "-n", "3",
+             "--size", "32"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, **ENV})
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "3/3 packets received intact" in r.stdout
+
+    def test_howto_block(self):
+        r = subprocess.run(
+            [sys.executable, "examples/howto_write_a_block.py"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, **ENV})
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "qa_square_ff: OK" in r.stdout
+        assert "qa_square_accum_ff: OK" in r.stdout
+
+    def test_wfm_demod_app(self, tmp_path):
+        from grtpu.ops import dsp
+
+        # synthesize a tiny FM capture at broadcast-like rates
+        fs = 256000.0
+        n = 1 << 16
+        msg = (0.5 * np.sin(2 * np.pi * 600 * np.arange(n) / fs)).astype(
+            np.float32)
+        iq, _ = dsp.frequency_modulator(jnp.asarray(msg), jnp.float32(0.0),
+                                        2 * np.pi * 75e3 / fs)
+        cap = str(tmp_path / "fm.cfile")
+        np.asarray(iq).astype(np.complex64).tofile(cap)
+        wav = str(tmp_path / "out.wav")
+        r = subprocess.run(
+            [sys.executable, "examples/wfm_demod.py", cap, wav,
+             "--rate", "256k", "--decim", "8", "--chunk", "16384"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, **ENV})
+        assert r.returncode == 0, r.stderr[-2000:]
+        from grtpu.io.file import load_wav
+
+        rate, audio = load_wav(wav)
+        assert rate == 32000
+        spec = np.abs(np.fft.rfft(audio[2000:, 0]))
+        peak = np.argmax(spec) * rate / len(audio[2000:, 0])
+        assert abs(peak - 600) < 20
