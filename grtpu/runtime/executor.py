@@ -69,6 +69,7 @@ class StreamExecutor:
         self._build_step(donate)
         # host-side stream-tag store per edge key, and absolute item counters
         self._tags: Dict[str, List[Tag]] = {k: [] for k in self._edge_keys}
+        self.sink_tags: Dict[str, List[Tag]] = {}
         self.nitems = {b.name: 0 for b in self.order}  # items consumed so far
 
     # ------------------------------------------------------------------ rates
@@ -380,6 +381,12 @@ class StreamExecutor:
                     self._tags[k] = [t for t in self._tags[k] if t.offset >= start + n_in]
                     in_tags.extend(take)
             out_tags = propagate_tags(in_tags, b.relative_rate)
+            if not b.out_ports:
+                # terminal blocks retain their received tags for the host
+                # (the analog of reading gr_buffer tags at a sink)
+                if in_tags:
+                    self.sink_tags.setdefault(b.name, []).extend(in_tags)
+                continue
             for e in downs:
                 k = _edge_key(e)
                 if k in self._tags:

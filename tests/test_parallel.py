@@ -1,0 +1,99 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Goes beyond the reference (which never tests multi-node without sockets,
+SURVEY.md §4): the sharded program must produce the SAME samples as the
+unsharded one — halo exchange over the mesh replaces buffer history
+exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grtpu.parallel.halo import ring_halo_left, shard_fir_filter
+from grtpu.parallel.sharded_fm import ShardedWfmBank, make_mesh
+from jax.sharding import Mesh, PartitionSpec as P
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+class TestHaloExchange:
+    def test_time_sharded_fir_matches_unsharded(self):
+        from grtpu.ops.fir import fir_filter
+
+        n, k = 1024, 33
+        rng = np.random.RandomState(3)
+        x = rng.randn(n).astype(np.float32)
+        taps = rng.randn(k).astype(np.float32)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("t",))
+
+        def sharded(xl):
+            return shard_fir_filter(xl, jnp.asarray(taps), "t", 1)
+
+        f = jax.jit(jax.shard_map(sharded, mesh=mesh, in_specs=P("t"),
+                                  out_specs=P("t"), check_vma=False))
+        y_sh = np.asarray(f(jnp.asarray(x)))
+        xh = np.concatenate([np.zeros(k - 1, np.float32), x])
+        y_ref = np.asarray(fir_filter(jnp.asarray(xh), jnp.asarray(taps), 1))
+        np.testing.assert_allclose(y_sh, y_ref, atol=2e-4)
+
+    def test_halo_wrap_modes(self):
+        mesh = Mesh(np.array(jax.devices()[:4]), ("t",))
+        x = jnp.arange(32, dtype=jnp.float32)
+
+        def f(xl):
+            return ring_halo_left(xl, "t", 2)
+
+        y = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("t"),
+                                  out_specs=P("t"), check_vma=False))(x)
+        y = np.asarray(y).reshape(4, 10)
+        # first shard zero-preloaded; others carry the neighbor's tail
+        np.testing.assert_array_equal(y[0][:2], [0, 0])
+        np.testing.assert_array_equal(y[1][:2], [6, 7])
+        np.testing.assert_array_equal(y[3][:2], [22, 23])
+
+
+class TestShardedWfm:
+    @pytest.mark.parametrize("ndev", [2, 4, 8])
+    def test_mesh_shapes_execute(self, ndev):
+        mesh = make_mesh(ndev)
+        bank = ShardedWfmBank(mesh, quad_rate=64e3, audio_decim=4,
+                              nchannels=max(2 * mesh.shape["chan"], 2))
+        iq, st = bank.example_inputs(t_per_shard=256)
+        audio, st2, power = bank.jitted()(iq, st)
+        assert np.isfinite(float(power))
+        assert audio.shape[1] == iq.shape[1] // 4
+
+    def test_sharded_matches_single_device(self):
+        """The flagship equivalence: 8-device output == 1-device output."""
+        mesh8 = make_mesh(8)
+        nchan = 2 * mesh8.shape["chan"]
+        bank8 = ShardedWfmBank(mesh8, quad_rate=64e3, audio_decim=4,
+                               nchannels=nchan)
+        t_total = mesh8.shape["time"] * 512
+        rng = np.random.RandomState(0)
+        re = rng.randn(nchan, t_total).astype(np.float32)
+        im = rng.randn(nchan, t_total).astype(np.float32)
+        iq = jnp.asarray(re + 1j * im, jnp.complex64)
+        a8, s8, p8 = bank8.jitted()(iq, bank8.init_state())
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                     ("time", "chan"))
+        bank1 = ShardedWfmBank(mesh1, quad_rate=64e3, audio_decim=4,
+                               nchannels=nchan)
+        a1, s1, p1 = bank1.jitted()(iq, bank1.init_state())
+
+        # FIR/demod path identical thanks to halo exchange; the per-time-
+        # shard deemph IIR restart is the documented approximation — compare
+        # away from the shard-boundary transients
+        a8 = np.asarray(a8)
+        a1 = np.asarray(a1)
+        nt = mesh8.shape["time"]
+        per = a8.shape[1] // nt
+        settle = 64
+        for s in range(nt):
+            sl = slice(s * per + settle, (s + 1) * per)
+            np.testing.assert_allclose(a8[:, sl], a1[:, sl], atol=1e-3)
+        np.testing.assert_allclose(float(p8), float(p1), rtol=0.05)
