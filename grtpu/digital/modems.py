@@ -240,11 +240,41 @@ class Fsk4Modem:
         st = loops.mm_init_state(float(self.sps), 0.5)
         ys, n_valid = self._demod(jnp.asarray(x), st)
         v = np.asarray(ys)[: int(n_valid)]
+        return self._slice(v)
+
+    @staticmethod
+    def _slice(v: np.ndarray) -> np.ndarray:
         # levels nominally +-1/3, +-1 (unit max): slice at 0 and +-2/3
         sym = np.where(v > 2 / 3, 0b01,
                        np.where(v > 0, 0b00,
                                 np.where(v > -2 / 3, 0b10, 0b11)))
         return sym.astype(np.uint8)
+
+    def demodulate_burst(self, x) -> np.ndarray:
+        """Open-loop burst demod: matched filter, CFO (DC) removal, then
+        pick the sampling phase minimizing the 4-level eye metric over the
+        WHOLE burst — fully vectorized, no acquisition transient (the burst
+        receiver a short TDMA slot needs; loop-based demodulate() suits
+        continuous streams)."""
+        x = jnp.asarray(x)
+        fm = dsp.quadrature_demod(
+            jnp.concatenate([jnp.zeros(1, jnp.complex64), x]),
+            1.0 / self.sensitivity)
+        K = len(self.rx_taps)
+        fmh = jnp.concatenate([jnp.zeros(K - 1, jnp.float32), fm])
+        mf = np.asarray(fir_filter(fmh, jnp.asarray(self.rx_taps), 1)) / self.sps
+        mf = mf - np.median(mf)  # CFO appears as a DC shift of the levels
+        sps = self.sps
+        n_sym = len(mf) // sps
+        levels = np.array([-1.0, -1 / 3, 1 / 3, 1.0])
+        best = (np.inf, 0)
+        for ph in range(sps):
+            s = mf[ph: ph + n_sym * sps: sps][: n_sym - 1]
+            err = np.abs(s[:, None] - levels[None, :]).min(axis=1).mean()
+            if err < best[0]:
+                best = (err, ph)
+        v = mf[best[1]:: sps]
+        return self._slice(v)
 
 
 def awgn(x, snr_db: float, seed: int = 0, measure=None):

@@ -244,3 +244,39 @@ class TestEqualizers:
         dec0 = np.asarray(c.decision_maker(jnp.asarray(rx[4000:])))
         evm0 = np.abs(rx[4000:] - c.points[dec0]).mean()
         assert evm < evm0 * 0.5, (evm0, evm)
+
+
+class TestDmrBurst:
+    def test_burst_roundtrip_clean(self):
+        from grtpu.models.dmr import DmrReceiver, DmrTransmitter
+
+        tx = DmrTransmitter(samples_per_symbol=10)
+        rx = DmrReceiver(samples_per_symbol=10)
+        payload = RNG.randint(0, 2, 216).astype(np.uint8)
+        samples = tx.transmit(payload, "bs_data")
+        got = rx.receive(samples, "bs_data")
+        assert len(got) == 1
+        np.testing.assert_array_equal(got[0], payload)
+
+    def test_burst_with_noise_and_cfo(self):
+        from grtpu.models.dmr import DmrReceiver, DmrTransmitter
+
+        tx = DmrTransmitter(samples_per_symbol=10)
+        rx = DmrReceiver(samples_per_symbol=10)
+        payload = RNG.randint(0, 2, 216).astype(np.uint8)
+        s = np.asarray(tx.transmit(payload, "bs_voice"))
+        s = s * np.exp(1j * 2 * np.pi * 50 / 48000 * np.arange(len(s)))
+        got = rx.receive(awgn(s, 15.0, seed=4), "bs_voice")
+        assert len(got) == 1
+        ber = (got[0] != payload).mean()
+        assert ber < 0.02, ber
+
+    def test_wrong_sync_rejected(self):
+        from grtpu.models.dmr import DmrReceiver, DmrTransmitter
+
+        tx = DmrTransmitter(samples_per_symbol=10)
+        rx = DmrReceiver(samples_per_symbol=10)
+        payload = RNG.randint(0, 2, 216).astype(np.uint8)
+        samples = tx.transmit(payload, "bs_data")
+        got = rx.receive(samples, "ms_voice", max_errors=2)
+        assert len(got) == 0
