@@ -299,3 +299,23 @@ class GrTest(Block):
         if self.produce_extra:
             y = jnp.concatenate([y, jnp.zeros(self.produce_extra, y.dtype)])
         return state, y
+
+
+class HistoSink(Block):
+    """gr_histo_sink_f: host-side histogram over the captured stream."""
+
+    def __init__(self, nbins: int = 100, name=None):
+        self.in_ports = (Port(jnp.float32),)
+        self.out_ports = ()
+        super().__init__(name)
+        self.nbins = nbins
+        self.captured = None
+
+    def apply(self, state, x):
+        return state, ()
+
+    def histogram(self):
+        if self.captured is None:
+            return None, None
+        x = np.asarray(self.captured[0])
+        return np.histogram(x, bins=self.nbins)

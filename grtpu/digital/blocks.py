@@ -179,3 +179,35 @@ class BytesToSyms(Block):
         shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
         bits = (x[:, None].astype(jnp.int32) >> shifts[None, :]) & 1
         return state, (bits.reshape(-1) * 2 - 1).astype(jnp.float32)
+
+
+class MpskReceiver(Block):
+    """digital_mpsk_receiver_cc (legacy combined carrier+timing receiver):
+    composed here as costas derotation followed by M&M timing, emitting
+    one symbol-rate sample per sps inputs (fixed-rate approximation of the
+    reference's variable consumption)."""
+
+    def __init__(self, m: int, sps: float, costas_bw: float = 0.062,
+                 gain_mu: float = 0.175, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        self.decim = int(round(sps))
+        super().__init__(name)
+        self.m, self.sps = m, sps
+        self.costas_bw = costas_bw
+        self.gain_mu = gain_mu
+        self.gain_omega = 0.25 * gain_mu * gain_mu
+
+    def init_state(self):
+        return (loops.costas_init_state(),
+                loops.mm_init_state(float(self.sps), 0.5, complex_mode=True))
+
+    def apply(self, state, x):
+        cst, mm = state
+        derot, cst2 = loops.costas_loop(x, cst, self.costas_bw,
+                                        self.m if self.m in (2, 4, 8) else 4)
+        n_out = x.shape[0] // self.decim
+        ys, n_valid, mm2 = loops.clock_recovery_mm_cc(
+            derot, mm, float(self.sps), self.gain_omega, self.gain_mu, 0.005)
+        mm2 = loops.rebase_mm_state(mm2, x.shape[0])
+        return (cst2, mm2), ys[:n_out]

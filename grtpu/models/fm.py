@@ -268,3 +268,23 @@ class WfmRcvPll(HierBlock):
         self.graph.connect(diff_filter, (sub, 1))
         self.graph.connect(add, deemph_l, o_l)
         self.graph.connect(sub, deemph_r, o_r)
+
+
+class WfmRcvFmdet(HierBlock):
+    """blks2impl/wfm_rcv_fmdet.py: WBFM receive using the balanced
+    discriminator (FmDet) front end instead of quadrature_demod."""
+
+    def __init__(self, quad_rate: float, audio_decimation: int, name=None):
+        super().__init__(name)
+        from grtpu.blocks.analog import FmDet
+
+        audio_rate = quad_rate / audio_decimation
+        audio_taps = firdes.low_pass(
+            1.0, quad_rate, audio_rate / 2 - 1e3, audio_rate / 10,
+            firdes.Window.HAMMING)
+        i = self.graph.add_input(Port(jnp.complex64))
+        o = self.graph.add_output(Port(jnp.float32))
+        self.graph.connect(
+            i, FmDet(quad_rate, -75e3, 75e3),
+            FirFilter(audio_decimation, audio_taps, "fff"),
+            FmDeemph(audio_rate), o)

