@@ -74,17 +74,39 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
     # v[b,t] = sum_j bank[b,j] x[hist + t*step - j*N - b]
     # (the commutator advances `step` inputs per output row; the branch FIR
     # strides N regardless of oversampling)
-    t_ix = np.arange(T)[:, None, None] * step
-    j_ix = np.arange(kp)[None, None, :] * N
-    b_ix = np.arange(N)[None, :, None]
-    idx = hist + t_ix - j_ix - b_ix  # (T, N, kp), min = N - b >= 1 - N... >=0
-    w = x[jnp.asarray(idx)]  # (T, N, kp)
-    bk = jnp.asarray(bank)
-    if jnp.iscomplexobj(x):
-        v = (jnp.einsum("tbk,bk->bt", w.real, bk, precision=_HI)
-             + 1j * jnp.einsum("tbk,bk->bt", w.imag, bk, precision=_HI))
+    if os_ == 1:
+        # gather-free fast path: reshape x into rows of N, so
+        # x[hist + (t-j)N - b] = X2[t - j + kp - 1 + (b==0), (N-b) % N];
+        # each stage tap j is then a ROW-SHIFTED copy of the column-permuted
+        # matrix — pure slices, VPU multiply-add over kp terms.
+        rows = T + kp
+        X2 = jax.lax.dynamic_slice_in_dim(x, 0, rows * N).reshape(rows, N)
+        perm = np.array([(N - b) % N for b in range(N)])
+        P = X2[:, jnp.asarray(perm)]  # (rows, N): P[m, b] = x[mN + (N-b)%N]
+        shift0 = np.array([kp if b == 0 else kp - 1 for b in range(N)])
+        bk = jnp.asarray(bank)
+        acc = None
+        for j in range(kp):
+            # rows t - j + kp - 1 (+1 for b==0): two slices blended by mask
+            a = jax.lax.dynamic_slice_in_dim(P, kp - 1 - j, T)
+            a0 = jax.lax.dynamic_slice_in_dim(P, kp - j, T)
+            mask0 = jnp.asarray((np.arange(N) == 0))
+            blk = jnp.where(mask0[None, :], a0, a)
+            term = blk * bk[None, :, j]
+            acc = term if acc is None else acc + term
+        v = acc.T  # (N, T)
     else:
-        v = jnp.einsum("tbk,bk->bt", w, bk, precision=_HI)
+        t_ix = np.arange(T)[:, None, None] * step
+        j_ix = np.arange(kp)[None, None, :] * N
+        b_ix = np.arange(N)[None, :, None]
+        idx = hist + t_ix - j_ix - b_ix  # (T, N, kp)
+        w = x[jnp.asarray(idx)]  # (T, N, kp)
+        bk = jnp.asarray(bank)
+        if jnp.iscomplexobj(x):
+            v = (jnp.einsum("tbk,bk->bt", w.real, bk, precision=_HI)
+                 + 1j * jnp.einsum("tbk,bk->bt", w.imag, bk, precision=_HI))
+        else:
+            v = jnp.einsum("tbk,bk->bt", w, bk, precision=_HI)
     # across branches -> channels; IFFT (x N) so channel c sits at +c*fs/N
     y = jnp.fft.ifft(v, axis=0) * N  # (N, T)
     if os_ > 1:

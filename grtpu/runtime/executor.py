@@ -294,6 +294,18 @@ class StreamExecutor:
             self._collect(pads, sinks, outs_accum, sink_accum)
         return self._finalize(outs_accum, sink_accum, n)
 
+    def stream(self, chunk_iter):
+        """Generator-driven streaming: pull fixed-size chunks from an
+        iterator (native ring buffer, UDP source, ...) and yield each
+        step's pad outputs.  The analog of the reference's free-running
+        scheduler fed by a hardware source, with backpressure implicit in
+        the generator."""
+        for chunk in chunk_iter:
+            if not isinstance(chunk, (tuple, list)):
+                chunk = (chunk,)
+            pads, _ = self.step(*[jnp.asarray(c) for c in chunk])
+            yield pads if len(pads) != 1 else pads[0]
+
     def _collect(self, pads, sinks, outs_accum, sink_accum):
         for i, v in enumerate(pads):
             outs_accum[i].append(v)

@@ -349,3 +349,44 @@ class TestUtilsExtra:
         plotmod.main(["psd", p, "--rate", "1e6", "--out", out])
         import os
         assert os.path.getsize(out) > 5000
+
+
+class TestStreamingIngest:
+    def test_ring_to_executor_stream(self, tmp_path):
+        """The full ingest story: capture file -> native ring (background
+        pump thread) -> executor.stream() -> demodulated output."""
+        from grtpu.io.native import FilePump, RingBuffer, available
+        from grtpu.blocks.gengen import MultiplyConst
+
+        if not available():
+            pytest.skip("no native compiler")
+        import time as _t
+
+        path = str(tmp_path / "cap.f32")
+        x = RNG.randn(32768).astype(np.float32)
+        x.tofile(path)
+        rb = RingBuffer(1 << 20)
+        pump = FilePump(rb, path)
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        pout = g.add_output(Port(jnp.float32))
+        g.connect(pin, MultiplyConst(2.0), pout)
+        ex = StreamExecutor(g, chunk_size=4096)
+
+        def chunks():
+            deadline = _t.time() + 10
+            while _t.time() < deadline:
+                arr = rb.read_items(4096, np.float32)
+                if arr is not None:
+                    yield arr
+                elif rb.eof and rb.readable < 4096 * 4:
+                    return
+                else:
+                    _t.sleep(0.001)
+
+        outs = [np.asarray(o) for o in ex.stream(chunks())]
+        pump.stop()
+        got = np.concatenate(outs)
+        np.testing.assert_allclose(got, x[: len(got)] * 2.0, rtol=1e-6)
+        assert len(got) == 32768
