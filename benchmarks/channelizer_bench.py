@@ -1,12 +1,9 @@
 """Polyphase channelizer throughput (BASELINE.json config #2).
 
-64-channel critically-sampled channelizer (gather-free shifted-slice
-branch FIRs + batched 64-point IFFT).  Measured on 1x TPU v5e:
-~177 Msamples/s input rate (64 x 2.7 MHz channels real-time).
-
-Known headroom: the branch transform runs as a strided batched FFT; a
-Pallas matmul-DFT (64-point DFT as a 64x64 matmul on the MXU) should lift
-this substantially — tracked as future work.
+64-channel critically-sampled channelizer: the branch FIRs and the
+N-point IDFT fold into kp complex (T,N)@(N,N) matmuls (fully MXU, no
+gather, no strided FFT).  Measured on 1x TPU v5e: ~1.0 Gsample/s input
+rate (64 channels of 15.6 MHz real-time).
 
 Run from repo root on the TPU: python benchmarks/channelizer_bench.py
 """

@@ -75,26 +75,41 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
     # (the commutator advances `step` inputs per output row; the branch FIR
     # strides N regardless of oversampling)
     if os_ == 1:
-        # gather-free fast path: reshape x into rows of N, so
+        # gather-free MXU path: reshape x into rows of N, so
         # x[hist + (t-j)N - b] = X2[t - j + kp - 1 + (b==0), (N-b) % N];
-        # each stage tap j is then a ROW-SHIFTED copy of the column-permuted
-        # matrix — pure slices, VPU multiply-add over kp terms.
+        # stage tap j is a ROW-SHIFTED slice of the column-permuted matrix,
+        # and the branch-FIR + N-point IDFT FOLD into one (T,N)@(N,N)
+        # complex matmul per tap:  y += blk_j @ M_j,
+        # M_j[b, c] = h[jN + b_bank] * e^{2i pi b c / N}.
         rows = T + kp
         X2 = jax.lax.dynamic_slice_in_dim(x, 0, rows * N).reshape(rows, N)
         perm = np.array([(N - b) % N for b in range(N)])
         P = X2[:, jnp.asarray(perm)]  # (rows, N): P[m, b] = x[mN + (N-b)%N]
-        shift0 = np.array([kp if b == 0 else kp - 1 for b in range(N)])
-        bk = jnp.asarray(bank)
+        mask0 = jnp.asarray(np.arange(N) == 0)
+        bvec = np.arange(N)
+        cvec = np.arange(N)
+        dft = np.exp(2j * np.pi * np.outer(bvec, cvec) / N)  # IDFT * N
+        Ms = [jnp.asarray((bank[:, j][:, None] * dft).astype(np.complex64))
+              for j in range(kp)]
+
+        def cmm(a, m):
+            def rmm(p, q):
+                return jnp.dot(p, q, preferred_element_type=jnp.float32,
+                               precision=_HI)
+            if jnp.iscomplexobj(a):
+                rr = rmm(a.real, m.real) - rmm(a.imag, m.imag)
+                ii = rmm(a.real, m.imag) + rmm(a.imag, m.real)
+                return rr + 1j * ii
+            return rmm(a, m.real) + 1j * rmm(a, m.imag)
+
         acc = None
         for j in range(kp):
-            # rows t - j + kp - 1 (+1 for b==0): two slices blended by mask
             a = jax.lax.dynamic_slice_in_dim(P, kp - 1 - j, T)
             a0 = jax.lax.dynamic_slice_in_dim(P, kp - j, T)
-            mask0 = jnp.asarray((np.arange(N) == 0))
             blk = jnp.where(mask0[None, :], a0, a)
-            term = blk * bk[None, :, j]
+            term = cmm(blk, Ms[j])
             acc = term if acc is None else acc + term
-        v = acc.T  # (N, T)
+        return acc.astype(jnp.complex64)  # (T, N), channel c at +c*fs/N
     else:
         t_ix = np.arange(T)[:, None, None] * step
         j_ix = np.arange(kp)[None, None, :] * N
