@@ -47,9 +47,12 @@ def fft_filter(x: jnp.ndarray, taps: jnp.ndarray, decim: int = 1,
     xp = jnp.pad(x, (0, max(0, need - x.shape[0])))
 
     # segments of length fftsize with stride L: segment s covers outputs
-    # [s*L, s*L + L) and needs inputs [s*L, s*L + fftsize).
-    idx = (jnp.arange(nseg)[:, None] * L) + jnp.arange(fftsize)[None, :]
-    segs = xp[idx]  # (nseg, fftsize) — strided gather, fused by XLA
+    # [s*L, s*L + L) and needs inputs [s*L, s*L + fftsize).  Built from
+    # shifted reshapes (the window-matrix trick) — no gather, which is
+    # catastrophically slow on TPU.
+    from grtpu.ops.fir import _window_matrix
+
+    segs = _window_matrix(xp[: (nseg) * L + fftsize - L], fftsize - L + 1, L)
 
     complex_in = jnp.iscomplexobj(x) or jnp.iscomplexobj(taps)
     hp = jnp.pad(taps, (0, fftsize - k)).astype(jnp.complex64)

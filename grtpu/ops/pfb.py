@@ -201,13 +201,32 @@ def arb_resample(x: jnp.ndarray, proto_taps: np.ndarray, rate: Fraction,
     kp = bank.shape[1]
     n = x.shape[0] - (kp - 1)
     i, ph, frac, n_out = arb_resampler_plan(rate, n, filter_size)
-    # window for output k (conv orientation): x_cur[i_k - j], j=0..kp-1;
-    # with history offset, x_cur[m] = x[m + kp - 1], so window =
-    # x[i_k .. i_k + kp - 1] dotted with reversed phase taps.
+    bank_r = bank[:, ::-1].copy()
+    dbank_r = dbank[:, ::-1].copy()
+    P, Q = rate.numerator, rate.denominator
+    if P <= 64 and n_out % P == 0:
+        # gather-free: outputs k = r (mod P) share the same (phase, frac)
+        # and advance Q input samples per period — each (r, j) term is one
+        # strided slice of x (TPU gathers are catastrophically slow).
+        M = n_out // P
+        parts = []
+        for r in range(P):
+            ir, phr, fr = int(i[r]), int(ph[r]), float(frac[r])
+            taps_eff = bank_r[phr] + fr * dbank_r[phr]
+            acc = None
+            for j in range(kp):
+                sl = jax.lax.dynamic_slice_in_dim(x, ir + j, (M - 1) * Q + 1)
+                term = sl[::Q] * float(taps_eff[j]) if not np.iscomplexobj(
+                    taps_eff) else sl[::Q] * complex(taps_eff[j])
+                acc = term if acc is None else acc + term
+            parts.append(acc)
+        y = jnp.stack(parts, axis=1).reshape(-1)
+        return y.astype(x.dtype)
+    # general path: window gather (large P)
     idx = jnp.asarray(i)[:, None] + jnp.arange(kp)[None, :]
     w = x[idx]  # (n_out, kp)
-    bk = jnp.asarray(bank[:, ::-1].copy())[jnp.asarray(ph)]
-    dk = jnp.asarray(dbank[:, ::-1].copy())[jnp.asarray(ph)]
+    bk = jnp.asarray(bank_r)[jnp.asarray(ph)]
+    dk = jnp.asarray(dbank_r)[jnp.asarray(ph)]
     y0 = (w * bk).sum(axis=1)
     y1 = (w * dk).sum(axis=1)
     return (y0 + jnp.asarray(frac) * y1).astype(x.dtype)
