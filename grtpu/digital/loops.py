@@ -171,7 +171,10 @@ def clock_recovery_mm_cc(
         win = jax.lax.dynamic_slice_in_dim(x, jnp.clip(ip, 0, n_in - NTAPS), NTAPS)
         phase = jnp.round(st.mu * NSTEPS).astype(jnp.int32)
         samp = (win * bank[phase]).sum()
-        u = slc(st.last_sample) * samp - slc(samp) * st.last_sample
+        # complex M&M TED (conjugated decisions; reduces to the real form
+        # for BPSK, required for QPSK/8PSK)
+        u = jnp.conj(slc(st.last_sample)) * samp \
+            - jnp.conj(slc(samp)) * st.last_sample
         err = jnp.clip(jnp.real(u), -1.0, 1.0)
         omega = st.omega + gain_omega * err
         omega = jnp.clip(omega, omega_nominal - om_lim, omega_nominal + om_lim)

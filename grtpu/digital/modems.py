@@ -112,6 +112,14 @@ class PskModem:
         self.k = int(np.log2(m))
         self.sps = samples_per_symbol
         self.constellation = psk_constellation(m)
+        if m > 2:
+            # rotate to the order-M costas lock grid: the loop's phase
+            # detector nulls with points at odd multiples of pi/M (e.g.
+            # QPSK on the +-45 deg diagonals); axis-aligned points would sit
+            # exactly between decision regions after lock
+            rot = np.exp(1j * np.pi / m).astype(np.complex64)
+            self.constellation.points = (
+                self.constellation.points * rot).astype(np.complex64)
         ntaps = 11 * samples_per_symbol
         self.rrc = firdes.root_raised_cosine(
             samples_per_symbol, samples_per_symbol, 1.0, excess_bw, ntaps)
@@ -134,10 +142,14 @@ class PskModem:
         pts = jnp.asarray(self.constellation.points)
         gm = jnp.asarray(self.gray_map)
         if self.differential:
-            d, _ = loops.diff_encode(syms, jnp.zeros((), jnp.uint8), self.m)
+            # phase-accumulate the GRAY-CODED symbol in point-index space:
+            # p_k = p_{k-1} + gray(sym_k); the receiver's constant
+            # rotational ambiguity then cancels in the index differences
+            g = gm[syms.astype(jnp.int32)].astype(jnp.uint8)
+            d, _ = loops.diff_encode(g, jnp.zeros((), jnp.uint8), self.m)
+            cpx = pts[d.astype(jnp.int32)]
         else:
-            d = syms
-        cpx = pts[gm[d.astype(jnp.int32)]]
+            cpx = pts[gm[syms.astype(jnp.int32)]]
         kp = -(-len(self.rrc) // self.sps)
         xh = jnp.concatenate([jnp.zeros(kp - 1, jnp.complex64), cpx])
         return interp_fir_filter(xh, jnp.asarray(self.rrc), self.sps)
@@ -152,7 +164,9 @@ class PskModem:
         # matched filter
         K = len(self.rrc_rx)
         xh = jnp.concatenate([jnp.zeros(K - 1, jnp.complex64), x])
-        mf = fir_filter(xh, jnp.asarray(self.rrc_rx), 1)
+        # normalize the tx(gain=sps) x rx(unit) cascade to unit symbols so
+        # the loop gains see their nominal signal scale
+        mf = fir_filter(xh, jnp.asarray(self.rrc_rx), 1) / self.sps
         # costas carrier recovery at sample rate (order m)
         derot, cst = loops.costas_loop(mf, costas_state, self.costas_bw,
                                        min(self.m, 8) if self.m in (2, 4, 8) else 4)
@@ -167,17 +181,15 @@ class PskModem:
         cs = loops.costas_init_state()
         ys, n_valid = self._demod(jnp.asarray(x), mm, cs)
         sym_pts = np.asarray(ys)[: int(n_valid)]
-        # hard decisions + (differential) decode + ungray -> bits
+        # hard decisions; differential decode in POINT-INDEX space (the
+        # costas lock's constant rotation cancels in the differences),
+        # then ungray the differences
         dec = np.asarray(self.constellation.decision_maker(jnp.asarray(sym_pts)))
-        dec = self.ungray_map[dec] if not self.differential else dec
         if self.differential:
-            # decisions are gray-coded point indices; differential decode in
-            # point-index space then ungray
-            ung = self.ungray_map[dec]
-            d = (ung - np.concatenate([[0], ung[:-1]])) % self.m
-            syms = d
+            d = (dec - np.concatenate([[0], dec[:-1]])) % self.m
+            syms = self.ungray_map[d]
         else:
-            syms = dec
+            syms = self.ungray_map[dec]
         if self.k == 1:
             return syms.astype(np.uint8)
         bits = ((syms[:, None] >> np.arange(self.k - 1, -1, -1)) & 1)

@@ -169,6 +169,32 @@ class TestDbpsk:
         assert ber < 0.02, ber
 
 
+class TestDqpsk:
+    def test_dqpsk_loopback(self):
+        """DQPSK through the costas+M&M receiver (point-index differential
+        coding cancels the order-4 lock ambiguity)."""
+        modem = PskModem(m=4, samples_per_symbol=4)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = modem.modulate(bits)
+        ber, _ = _best_ber(bits, modem.demodulate(tx), settle=300)
+        assert ber < 0.02, ber
+
+    def test_dqpsk_noisy(self):
+        modem = PskModem(m=4, samples_per_symbol=4)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = modem.modulate(bits)
+        ber, _ = _best_ber(bits, modem.demodulate(awgn(tx, 15.0, seed=2)),
+                           settle=300)
+        assert ber < 0.03, ber
+
+    def test_d8psk_loopback(self):
+        modem = PskModem(m=8, samples_per_symbol=4, costas_bw=0.03)
+        bits = RNG.randint(0, 2, 4002).astype(np.uint8)
+        tx = modem.modulate(bits)
+        ber, _ = _best_ber(bits, modem.demodulate(tx), settle=300)
+        assert ber < 0.03, ber
+
+
 class TestFsk4:
     def test_loopback_clean(self):
         modem = Fsk4Modem(samples_per_symbol=5)
@@ -187,7 +213,7 @@ class TestFsk4:
         assert ser < 0.02, ser
 
 
-def _best_ber(sent, got, max_shift=16, settle=0):
+def _best_ber(sent, got, max_shift=64, settle=0):
     """BER minimized over alignment shift (clock recovery has unknown
     integer symbol delay); ``settle`` discards the acquisition transient
     (the reference's QA does the same, e.g. qa_costas settle-N discard)."""
