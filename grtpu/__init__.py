@@ -33,3 +33,4 @@ __version__ = "0.1.0"
 from grtpu.runtime.block import Block, Port, StreamSpec  # noqa: F401
 from grtpu.runtime.graph import Graph, HierBlock  # noqa: F401
 from grtpu.runtime.executor import StreamExecutor  # noqa: F401
+from grtpu.runtime.top_block import TopBlock  # noqa: F401

@@ -1,0 +1,116 @@
+"""Generic modulator / demodulator — the generic_mod_demod.py parity path.
+
+Analogs (gr-digital/python/generic_mod_demod.py):
+  * generic_mod (:76-150): bits -> gray-mapped constellation symbols ->
+    (differential encode) -> RRC pulse shaping.
+  * generic_demod (:268-313): agc2 -> fll_band_edge -> pfb_clock_sync ->
+    constellation receiver -> (differential decode) -> unmap -> bits.
+
+This is the reference's exact receive composition (the PskModem in
+grtpu.digital.modems is the lighter costas+M&M variant).  Burst-mode
+functions like the other modems.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grtpu.blocks.pfb import pfb_clock_sync, pfb_clock_sync_init
+from grtpu.digital import loops
+from grtpu.digital.constellation import Constellation, psk_constellation
+from grtpu.ops.fir import interp_fir_filter
+from grtpu.utils import firdes
+
+
+class GenericModem:
+    """generic_mod + generic_demod with the reference's block chain."""
+
+    def __init__(self, constellation: Constellation | None = None, m: int = 4,
+                 samples_per_symbol: int = 4, excess_bw: float = 0.35,
+                 freq_bw: float = 0.035, timing_bw: float = 0.045,
+                 phase_bw: float = 0.06, nfilts: int = 32,
+                 differential: bool = True):
+        self.m = m
+        self.k = int(np.log2(m))
+        self.sps = samples_per_symbol
+        if constellation is None:
+            constellation = psk_constellation(m)
+            if m > 2:
+                rot = np.exp(1j * np.pi / m).astype(np.complex64)
+                constellation.points = (constellation.points * rot).astype(
+                    np.complex64)
+        self.constellation = constellation
+        self.differential = differential
+        self.excess_bw = excess_bw
+        self.freq_bw, self.timing_bw, self.phase_bw = (freq_bw, timing_bw,
+                                                       phase_bw)
+        self.nfilts = nfilts
+        ntaps = 11 * samples_per_symbol
+        self.rrc = firdes.root_raised_cosine(
+            samples_per_symbol, samples_per_symbol, 1.0, excess_bw, ntaps)
+        # matched-filter bank for pfb_clock_sync at nfilts phases
+        self.mf_bank = firdes.root_raised_cosine(
+            nfilts, nfilts * samples_per_symbol, 1.0, excess_bw,
+            11 * samples_per_symbol * nfilts)
+        gray = [i ^ (i >> 1) for i in range(m)]
+        self.gray_map = np.asarray(gray, np.int32)
+        inv = np.zeros(m, np.int32)
+        for i, g in enumerate(gray):
+            inv[g] = i
+        self.ungray_map = inv
+
+    # ----------------------------------------------------------------- mod
+    def modulate(self, bits: np.ndarray) -> jnp.ndarray:
+        bits = np.asarray(bits, np.uint8)
+        grp = bits[: len(bits) - len(bits) % self.k].reshape(-1, self.k)
+        syms = (grp @ (1 << np.arange(self.k - 1, -1, -1))).astype(np.int32)
+        g = self.gray_map[syms]
+        if self.differential:
+            p = np.cumsum(g) % self.m
+        else:
+            p = g
+        cpx = np.asarray(self.constellation.points)[p]
+        kp = -(-len(self.rrc) // self.sps)
+        xh = jnp.concatenate([jnp.zeros(kp - 1, jnp.complex64),
+                              jnp.asarray(cpx.astype(np.complex64))])
+        return interp_fir_filter(xh, jnp.asarray(self.rrc), self.sps)
+
+    # --------------------------------------------------------------- demod
+    def demodulate(self, x) -> np.ndarray:
+        """agc2 -> fll_band_edge -> pfb_clock_sync -> constellation
+        receiver -> diff decode -> ungray -> bits."""
+        x = jnp.asarray(x)
+        # agc2
+        def agc_scan(g, xi):
+            y = xi * g
+            err = 1.0 - jnp.abs(y)
+            rate = jnp.where(err < 0, 1e-1, 1e-2)
+            return g + rate * err, y
+
+        _, xa = jax.lax.scan(agc_scan, jnp.float32(1.0 / self.sps), x)
+        # fll band edge
+        fsz = int(self.sps * 4)
+        xh = jnp.concatenate([jnp.zeros(fsz - 1, jnp.complex64), xa])
+        xf, _ = loops.fll_band_edge(xh, loops.fll_init_state(),
+                                    float(self.sps), self.excess_bw, fsz,
+                                    self.freq_bw)
+        # pfb clock sync on the matched-filter bank
+        st = pfb_clock_sync_init(self.nfilts)
+        ys, n_valid, _ = pfb_clock_sync(xf, st, float(self.sps),
+                                        self.mf_bank, self.nfilts,
+                                        self.timing_bw)
+        sym_samps = ys[: 1 << 30]
+        # constellation receiver (phase loop + decisions)
+        syms, _, _ = loops.constellation_receiver(
+            sym_samps, loops.costas_init_state(), self.constellation,
+            self.phase_bw)
+        dec = np.asarray(syms)[: int(n_valid)]
+        if self.differential:
+            d = (dec - np.concatenate([[0], dec[:-1]])) % self.m
+        else:
+            d = dec
+        out = self.ungray_map[d]
+        bits = ((out[:, None] >> np.arange(self.k - 1, -1, -1)) & 1)
+        return bits.reshape(-1).astype(np.uint8)

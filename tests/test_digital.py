@@ -306,3 +306,27 @@ class TestDmrBurst:
         samples = tx.transmit(payload, "bs_data")
         got = rx.receive(samples, "ms_voice", max_errors=2)
         assert len(got) == 0
+
+
+class TestGenericModem:
+    def test_generic_qpsk_clean(self):
+        """The reference's exact receive chain: agc2 -> fll_band_edge ->
+        pfb_clock_sync -> constellation receiver (generic_mod_demod.py)."""
+        from grtpu.digital.generic_mod_demod import GenericModem
+
+        gm = GenericModem(m=4, samples_per_symbol=4)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = gm.modulate(bits)
+        ber, _ = _best_ber(bits, gm.demodulate(tx), settle=300)
+        assert ber < 0.01, ber
+
+    def test_generic_qpsk_cfo_noise(self):
+        from grtpu.digital.generic_mod_demod import GenericModem
+
+        gm = GenericModem(m=4, samples_per_symbol=4)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = np.asarray(gm.modulate(bits))
+        tx = tx * np.exp(1j * 0.004 * np.arange(len(tx)))
+        ber, _ = _best_ber(bits, gm.demodulate(awgn(tx, 12.0, seed=2)),
+                           settle=300)
+        assert ber < 0.02, ber
