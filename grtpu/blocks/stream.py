@@ -114,31 +114,30 @@ class Delay(Block):
 
 
 class SkipHead(Block):
-    """gr_skiphead: drop the first N items (stream shifts left; the tail is
-    zero-filled on finite runs)."""
+    """gr_skiphead analog: suppress the first N items.
+
+    Divergence from the reference: gr_skiphead COMPACTS the stream (output
+    is N items shorter), which is not expressible under static per-chunk
+    rates.  Here the first N items are zero-masked in place; consumers
+    wanting the compacted stream slice host-side (``sink.data()[N:]``) —
+    the same finite-run idiom as :class:`Head`."""
 
     def __init__(self, n: int, dtype=jnp.float32, vlen: int = 1, name=None):
         self.in_ports = (Port(dtype, vlen),)
         self.out_ports = (Port(dtype, vlen),)
         super().__init__(name)
         self.n = n
-        self._buffered = None
 
     def init_state(self):
         return jnp.zeros((), jnp.int32)
 
     def apply(self, state, x):
-        # Emit x delayed by -n: equivalent to delaying output tap by n. We
-        # implement as: keep a running count; output x rolled left with zeros
-        # entering (exactness restored by host-side trim helpers).
         n = x.shape[0]
-        seen = state
-        idx = jnp.arange(n) + jnp.minimum(self.n - seen, n).clip(0)
-        pad = jnp.zeros_like(x)
-        shifted = jnp.where((idx < n)[(...,) + (None,) * (x.ndim - 1)]
-                            if x.ndim > 1 else idx < n,
-                            jnp.take(x, jnp.clip(idx, 0, n - 1), axis=0), pad)
-        return seen + n, shifted
+        pos = state + jnp.arange(n)
+        mask = pos >= self.n
+        if x.ndim > 1:
+            mask = mask[(...,) + (None,) * (x.ndim - 1)]
+        return state + n, jnp.where(mask, x, jnp.zeros_like(x))
 
 
 class Head(Block):

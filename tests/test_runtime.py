@@ -244,3 +244,19 @@ class TestState:
         ex2.load_checkpoint(path)
         y2 = np.asarray(ex2.run(jnp.asarray(x[32:])))
         np.testing.assert_allclose(y1, y2)
+
+
+class TestHeadSkipHead:
+    def test_skiphead_masks_cross_chunk(self):
+        from grtpu.blocks.stream import SkipHead
+        x = np.arange(24, dtype=np.float32)
+        y = run_chain([SkipHead(5)], x, chunk=8)
+        np.testing.assert_array_equal(y[:5], np.zeros(5))
+        np.testing.assert_array_equal(y[5:], x[5:])
+
+    def test_head_masks_cross_chunk(self):
+        from grtpu.blocks.stream import Head
+        x = np.arange(24, dtype=np.float32) + 1
+        y = run_chain([Head(10)], x, chunk=8)
+        np.testing.assert_array_equal(y[:10], x[:10])
+        np.testing.assert_array_equal(y[10:], np.zeros(14))
