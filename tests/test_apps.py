@@ -232,3 +232,14 @@ class TestOscope:
         assert seen == [10, 20] and ps["gain"] == 20
         ps.publish("level", lambda: 42)
         assert ps["level"] == 42
+
+
+class TestOfdmApp:
+    def test_benchmark_ofdm(self):
+        r = subprocess.run(
+            [sys.executable, "examples/benchmark_ofdm.py", "--snr", "18",
+             "--frames", "2", "--multipath"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, **ENV})
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "2/2 frames under 2% BER" in r.stdout
