@@ -12,11 +12,13 @@ The whole multi-channel receive step is ONE pjit-ed XLA program; scalar
 monitoring (total audio power) rides a psum over the full mesh.
 
 IIR boundary note: FIR/demod history crosses time-shard boundaries exactly
-via the halo exchange.  The scalar de-emphasis IIR state is carried per
-(time-shard, channel): each time shard owns a persistent sub-stream, so IIR
-continuity holds across *steps* within a shard; the one-pole transient at a
-shard boundary decays in ~1/alpha samples and is the documented approximation
-(the reference has the same transient at flowgraph start).
+via the halo exchange.  The de-emphasis IIR is ALSO exact across shards:
+each shard solves its local first-order recurrence from a zero incoming
+state, then the true incoming states are recovered with an exclusive prefix
+scan over the shards' affine maps (all-gathered (a_total, y_last0) pairs —
+nt is tiny) and applied as the closed-form correction
+``y += a_cumprod * y_in`` (linearity of the recurrence).  One all_gather of
+two scalars per channel per step is the entire cross-shard traffic.
 """
 
 from __future__ import annotations
@@ -71,37 +73,66 @@ class ShardedWfmBank:
         self.n_time = mesh.shape["time"]
 
     def init_state(self):
-        """Deemph IIR state per (time-shard, channel): (nt, C) f32."""
-        return jnp.zeros((self.n_time, self.nchannels), jnp.float32)
+        """Replicated stream state: row 0 = deemph IIR state y, row 1 =
+        last audio input sample (the numerator's x[k-1] across the step
+        boundary).  Shape (2, C), identical on every shard."""
+        return jnp.zeros((2, self.nchannels), jnp.float32)
 
-    def _local_step(self, iq_local, deemph_local):
-        """One shard's work: iq_local (C_l, T_l) complex64,
-        deemph_local (1, C_l).  Returns (audio (C_l, T_l//decim), state', power).
+    def _local_step(self, iq_local, state_local):
+        """One shard's work: iq_local (C_l, T_l) complex64, state_local
+        (2, C_l).  Returns (audio (C_l, T_l//decim), state', power).
+
+        The de-emphasis IIR is EXACT across time shards: local zero-state
+        solves + an exclusive prefix over the shards' affine maps (one tiny
+        all_gather) + the closed-form linear correction.
         """
+        from grtpu.ops.dsp import linear_recurrence
+
         halo = self.ntaps  # 1 for quad demod + (ntaps - 1) for the FIR
         x = ring_halo_left(iq_local, "time", halo, axis=1)
         prod = x[:, 1:] * jnp.conj(x[:, :-1])
         fm = self.demod_gain * jnp.arctan2(jnp.imag(prod), jnp.real(prod))
         audio = batch_fir_filter(fm, self.audio_taps, self.audio_decim)
         b0, p1 = self.deemph_b0, self.deemph_p1
+        nt = jax.lax.axis_size("time")
+        idx_t = jax.lax.axis_index("time")
 
-        def f(carry, cols):
-            xi, xprev = cols
-            y = b0 * xi + b0 * xprev + p1 * carry
-            return y, y
+        # boundary x[k-1]: previous shard's last audio sample (ppermute);
+        # shard 0 uses the carried last sample of the previous step
+        prev_col = jax.lax.ppermute(
+            audio[:, -1], "time", [(i, (i + 1) % nt) for i in range(nt)])
+        prev_col = jnp.where(idx_t == 0, state_local[1], prev_col)
+        u = b0 * (audio + jnp.concatenate(
+            [prev_col[:, None], audio[:, :-1]], axis=1))
+        a = jnp.full(u.shape, p1, jnp.float32)
+        y0, last0 = jax.vmap(
+            lambda aa, uu: linear_recurrence(aa, uu, jnp.float32(0.0)))(a, u)
 
-        xprev = jnp.concatenate(
-            [jnp.zeros((audio.shape[0], 1), audio.dtype), audio[:, :-1]], axis=1)
-        final, out = jax.lax.scan(f, deemph_local[0], (audio.T, xprev.T))
-        out = out.T
+        # exclusive prefix over per-shard affine maps (A, B): y_out = A*y_in + B
+        T_l = audio.shape[1]
+        A_total = jnp.full((audio.shape[0],), p1 ** T_l, jnp.float32)
+        allA = jax.lax.all_gather(A_total, "time")          # (nt, C_l)
+        allB = jax.lax.all_gather(last0, "time")
+        all_xlast = jax.lax.all_gather(audio[:, -1], "time")
+
+        def pref(carry, ab):
+            Aj, Bj = ab
+            return Aj * carry + Bj, carry  # emit each shard's INCOMING y
+
+        carried, incoming = jax.lax.scan(pref, state_local[0], (allA, allB))
+        y_in = incoming[idx_t]
+        a_pow = p1 ** (1.0 + jnp.arange(T_l, dtype=jnp.float32))
+        out = y0 + y_in[:, None] * a_pow[None, :]
+
+        new_state = jnp.stack([carried, all_xlast[nt - 1]], axis=0)
         power = jax.lax.psum(jnp.sum(out ** 2), ("time", "chan"))
-        return out, final[None, :], power
+        return out, new_state, power
 
     def step_fn(self):
         @functools.partial(
             jax.shard_map, mesh=self.mesh,
-            in_specs=(P("chan", "time"), P("time", "chan")),
-            out_specs=(P("chan", "time"), P("time", "chan"), P()),
+            in_specs=(P("chan", "time"), P(None, "chan")),
+            out_specs=(P("chan", "time"), P(None, "chan"), P()),
             check_vma=False,
         )
         def step(iq, deemph):
