@@ -260,3 +260,82 @@ class TestHeadSkipHead:
         y = run_chain([Head(10)], x, chunk=8)
         np.testing.assert_array_equal(y[:10], x[:10])
         np.testing.assert_array_equal(y[10:], np.zeros(14))
+
+
+
+class TestRetuning:
+    def test_set_taps_via_lock_unlock(self):
+        """Runtime retuning (the reference's set_taps + lock/unlock
+        reconfiguration): rebuild re-traces with the new taps while state
+        survives."""
+        from grtpu.runtime.top_block import TopBlock
+        from grtpu.blocks.filter import FirFilter
+
+        taps_a = np.array([1.0, 0, 0, 0], np.float32)
+        taps_b = np.array([0, 0, 0, 2.0], np.float32)
+        tb = TopBlock(chunk_size=16)
+        pin = tb.add_input(Port(jnp.float32))
+        f = FirFilter(1, taps_a, "fff", impl="mxu")
+        sink = VectorSink()
+        tb.connect(pin, f, sink)
+        x = np.arange(1, 17, dtype=np.float32)
+        tb.run(jnp.asarray(x))
+        np.testing.assert_allclose(sink.data()[-8:], x[-8:], atol=1e-5)
+        f.set_taps(taps_b)
+        tb.lock()
+        tb.unlock()
+        tb.run(jnp.asarray(x))
+        out2 = np.asarray(sink.captured[0])
+        # taps [0,0,0,2]: y[i] = 2*x[i-3]
+        np.testing.assert_allclose(out2[8:], 2 * x[5:13], atol=1e-5)
+
+    def test_fir_block_sigs(self):
+        from grtpu.blocks.filter import FirFilter
+        from grtpu.utils.testing import run_block
+
+        rng = np.random.RandomState(9)
+        x = rng.randn(64).astype(np.float32)
+        taps_c = (rng.randn(5) + 1j * rng.randn(5)).astype(np.complex64)
+        # fcc: float in, complex taps, complex out
+        y = run_block(FirFilter(1, taps_c, "fcc"), x)
+        assert y.dtype == np.complex64
+        # fsf: float in/taps, int16 out (clipped/rounded)
+        y2 = run_block(FirFilter(1, np.array([1000.0], np.float32), "fsf"), x)
+        assert y2.dtype == np.int16
+        np.testing.assert_array_equal(
+            y2, np.clip(np.round(x * 1000), -32768, 32767))
+        # scc: short in, complex taps
+        xs = (x * 100).astype(np.int16)
+        y3 = run_block(FirFilter(1, taps_c, "scc"), xs)
+        assert y3.dtype == np.complex64
+
+
+class TestGraphPartition:
+    def test_partition_components(self):
+        from grtpu.runtime.graph import Graph
+        from grtpu.blocks.gengen import NullSink, NoiseSource
+
+        g = Graph()
+        s1, k1 = NoiseSource(seed=1), NullSink()
+        s2, k2 = NoiseSource(seed=2), NullSink()
+        g.connect(s1, k1)
+        g.connect(s2, k2)
+        flat = g.flatten()
+        parts = flat.partition()
+        assert len(parts) == 2
+        assert {len(p) for p in parts} == {2}
+
+
+class TestMisbehavingBlock:
+    def test_nan_fixture_propagates_observably(self):
+        from grtpu.blocks.misc import GrTest
+
+        x = np.ones(16, np.float32)
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        sink = VectorSink()
+        g.connect(pin, GrTest(inject_nan=True), sink)
+        StreamExecutor(g, chunk_size=16).run(jnp.asarray(x))
+        out = sink.data()
+        assert np.isnan(out[0]) and np.isfinite(out[1:]).all()
+
