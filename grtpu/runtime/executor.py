@@ -60,13 +60,16 @@ class StreamExecutor:
         chunk_size: int = 4096,
         root_chunks: Optional[Dict[Any, int]] = None,
         donate: bool = True,
+        debug_taps: bool = False,
     ):
         self.flat = graph.flatten() if isinstance(graph, Graph) else graph
         self.chunk_size = int(chunk_size)
         self.order = self.flat.topological_order()
+        self.debug_taps = debug_taps
+        self.edge_data: Dict[str, Any] = {}
         self._compute_rates(root_chunks or {})
         self._init_state()
-        self._build_step(donate)
+        self._build_step(donate and not debug_taps)
         # host-side stream-tag store per edge key, and absolute item counters
         self._tags: Dict[str, List[Tag]] = {k: [] for k in self._edge_keys}
         self.sink_tags: Dict[str, List[Tag]] = {}
@@ -214,6 +217,11 @@ class StreamExecutor:
 
             pad_outs = tuple(value_of(e) for e in out_pad_edges)
             new_state = {"blocks": block_states, "tails": tails}
+            if self.debug_taps:
+                # §5.1 debug-tap idiom (generic_mod_demod.py:155-169 log=True
+                # wires a file sink at every stage): expose every edge value
+                sink_caps = dict(sink_caps)
+                sink_caps["__edges__"] = dict(edge_vals)
             return new_state, (pad_outs, sink_caps)
 
         self._step_fn = step
@@ -310,6 +318,10 @@ class StreamExecutor:
         for i, v in enumerate(pads):
             outs_accum[i].append(v)
         for name, vals in sinks.items():
+            if name == "__edges__":
+                for k, ev in vals.items():
+                    self.edge_data.setdefault(k, []).append(ev)
+                continue
             sink_accum.setdefault(name, []).append(vals)
 
     def _finalize(self, outs_accum, sink_accum, n_in):
@@ -405,6 +417,21 @@ class StreamExecutor:
                     self._tags[k].extend(out_tags)
         for b in self.order:
             self.nitems[b.name] += self.block_nin[b.uid]
+
+    def dump_debug_taps(self, directory: str):
+        """Write every edge's captured stream to <dir>/<edge>.dat (raw
+        native items) — the log-every-stage debugging workflow."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        paths = {}
+        for k, parts in self.edge_data.items():
+            arr = np.concatenate([np.asarray(p) for p in parts], axis=0)
+            safe = k.replace("/", "_").replace(">", "").replace(".", "_")
+            path = os.path.join(directory, safe + ".dat")
+            arr.tofile(path)
+            paths[k] = path
+        return paths
 
     # ------------------------------------------------------------------ ckpt
     def save_checkpoint(self, path: str):

@@ -339,3 +339,25 @@ class TestMisbehavingBlock:
         out = sink.data()
         assert np.isnan(out[0]) and np.isfinite(out[1:]).all()
 
+
+
+class TestDebugTaps:
+    def test_every_edge_logged(self, tmp_path):
+        """The log-every-stage idiom (SURVEY §5.1): debug_taps captures all
+        intermediate streams and dumps raw files."""
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        sink = VectorSink()
+        g.connect(pin, AddConst(1.0), MultiplyConst(2.0), sink)
+        ex = StreamExecutor(g, chunk_size=16, debug_taps=True)
+        x = np.arange(32, dtype=np.float32)
+        ex.run(jnp.asarray(x))
+        assert len(ex.edge_data) >= 2
+        paths = ex.dump_debug_taps(str(tmp_path))
+        import os
+        for k, p in paths.items():
+            assert os.path.getsize(p) > 0
+        # an intermediate edge holds the post-AddConst stream
+        mid = [np.concatenate([np.asarray(v) for v in parts])
+               for k, parts in ex.edge_data.items() if "AddConst" in k.split("->")[0]]
+        assert any(np.allclose(m, x + 1) for m in mid)
