@@ -1,1 +1,1 @@
-from grtpu.blocks import convert, gengen, stream
+from grtpu.blocks import analog, convert, fftblk, filter, gengen, misc, oscope, pfb, stream

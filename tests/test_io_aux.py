@@ -390,3 +390,18 @@ class TestStreamingIngest:
         got = np.concatenate(outs)
         np.testing.assert_allclose(got, x[: len(got)] * 2.0, rtol=1e-6)
         assert len(got) == 32768
+
+
+class TestFilterDesignCli:
+    def test_lowpass_and_plot(self, tmp_path):
+        from grtpu.utils import filter_design
+
+        png = str(tmp_path / "lp.png")
+        f32 = str(tmp_path / "taps.f32")
+        filter_design.main(["lowpass", "--fs", "48000", "--cutoff", "8000",
+                            "--transition", "2000", "--plot", png,
+                            "--save", f32])
+        import os
+        assert os.path.getsize(png) > 5000
+        taps = np.fromfile(f32, np.float32)
+        assert len(taps) % 2 == 1 and abs(taps.sum() - 1.0) < 0.01
