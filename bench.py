@@ -30,6 +30,31 @@ import numpy as np
 
 
 def main():
+    """Watchdog wrapper: the tunneled TPU occasionally wedges (ops hang or
+    raise until the tunnel recycles), so the measurement runs in a child
+    process with a timeout and is retried in a fresh process."""
+    import subprocess
+    import sys
+
+    if "--_measure" in sys.argv:
+        return _measure()
+    for attempt in range(3):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--_measure"],
+                capture_output=True, text=True, timeout=480)
+            lines = [l for l in r.stdout.splitlines()
+                     if l.startswith("{")]
+            if r.returncode == 0 and lines:
+                print(lines[-1])
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(45)
+    raise RuntimeError("bench failed after 3 attempts (TPU tunnel?)")
+
+
+def _measure():
     import jax
     import jax.numpy as jnp
     from grtpu.ops.pallas_fir import fir_cascade

@@ -405,3 +405,22 @@ class TestFilterDesignCli:
         assert os.path.getsize(png) > 5000
         taps = np.fromfile(f32, np.float32)
         assert len(taps) % 2 == 1 and abs(taps.sum() - 1.0) < 0.01
+
+
+class TestImportAll:
+    def test_every_module_imports(self):
+        """Catch syntax/import regressions anywhere in the package."""
+        import importlib
+        import pkgutil
+
+        import grtpu
+
+        failures = []
+        for mod in pkgutil.walk_packages(grtpu.__path__, "grtpu."):
+            if mod.name.endswith("__main__") or "libgrtpu" in mod.name:
+                continue  # CLI argv parsers / the raw ctypes .so
+            try:
+                importlib.import_module(mod.name)
+            except Exception as e:  # noqa: BLE001
+                failures.append((mod.name, repr(e)))
+        assert not failures, failures
