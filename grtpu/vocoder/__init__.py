@@ -43,6 +43,14 @@ from grtpu.vocoder.g72x import (
     g72x_init_state,
 )
 from grtpu.vocoder.cvsd import CvsdDecode, CvsdEncode
+from grtpu.vocoder.gsm import (
+    GsmFrDecode,
+    GsmFrEncode,
+    gsm_fr_decode,
+    gsm_fr_encode,
+    gsm_init_decode_state,
+    gsm_init_encode_state,
+)
 
 __all__ = [
     "AlawEncode", "AlawDecode", "UlawEncode", "UlawDecode",
@@ -52,4 +60,6 @@ __all__ = [
     "G723_40Encode", "G723_40Decode",
     "g72x_encode", "g72x_decode", "g72x_init_state",
     "CvsdEncode", "CvsdDecode",
+    "GsmFrEncode", "GsmFrDecode", "gsm_fr_encode", "gsm_fr_decode",
+    "gsm_init_encode_state", "gsm_init_decode_state",
 ]
