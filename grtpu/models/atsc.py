@@ -75,21 +75,32 @@ class Randomizer:
             self._clk()
         return out
 
+    SEGS_PER_FIELD = 312
+
+    def _field_sequence(self, n_packets: int) -> np.ndarray:
+        """PRBS bytes for n_packets, with the A/53 per-field reset: the LFSR
+        reloads PRELOAD at the start of every 312-packet data field."""
+        chunks = []
+        done = 0
+        while done < n_packets:
+            self.reset()
+            n = min(self.SEGS_PER_FIELD, n_packets - done)
+            chunks.append(self.sequence(n * DATA_LEN))
+            done += n
+        return np.concatenate(chunks).reshape(-1, DATA_LEN)
+
     def randomize_packets(self, packets: np.ndarray) -> np.ndarray:
-        """(n, 188) packets with sync byte -> (n, 187) whitened payloads.
-        The LFSR runs continuously across the field (reset per field)."""
+        """(n, 188) packets with sync byte -> (n, 187) whitened payloads."""
         pk = np.asarray(packets, np.uint8)
         assert pk.ndim == 2 and pk.shape[1] == DATA_LEN + 1
         assert (pk[:, 0] == MPEG_SYNC).all()
-        seq = self.sequence(pk.shape[0] * DATA_LEN).reshape(-1, DATA_LEN)
-        return pk[:, 1:] ^ seq
+        return pk[:, 1:] ^ self._field_sequence(pk.shape[0])
 
     def derandomize_packets(self, payloads: np.ndarray) -> np.ndarray:
         pl = np.asarray(payloads, np.uint8)
-        seq = self.sequence(pl.shape[0] * DATA_LEN).reshape(-1, DATA_LEN)
         out = np.zeros((pl.shape[0], DATA_LEN + 1), np.uint8)
         out[:, 0] = MPEG_SYNC
-        out[:, 1:] = pl ^ seq
+        out[:, 1:] = pl ^ self._field_sequence(pl.shape[0])
         return out
 
 

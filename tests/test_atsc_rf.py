@@ -1,0 +1,129 @@
+"""ATSC RF front end: FPLL, bit timing, field sync, equalizer, full loopback.
+
+The reference (gr-atsc) has no automated RF-chain tests (viewers only);
+these go further: a full packets -> 8-VSB RF -> packets loopback.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grtpu.models import atsc_rf as rf
+from grtpu.models.atsc import AtscReceiver, AtscTransmitter
+from grtpu.ops.fir import interp_fir_filter
+from grtpu.utils import firdes
+
+RNG = np.random.default_rng(42)
+RATIO = 2.5
+FS = 10.762238e6 * RATIO
+IF_NORM = 0.26
+
+
+def test_pn_sequences_match_reference():
+    # First bits of the reference tables (atsci_pnXXX.cc:26-30,52-53);
+    # generation is from the A/53 LFSRs.
+    ref511 = np.array([0, 0, 0, 0, 0, 0, 0, 1, 0, 1, 1, 1, 1, 1, 1, 1,
+                       1, 1, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 1, 0],
+                      np.uint8)
+    ref63 = np.array([1, 1, 1, 0, 0, 1, 0, 0, 1, 0, 1, 1, 0, 1, 1, 1],
+                     np.uint8)
+    np.testing.assert_array_equal(rf.ATSC_PN511[:32], ref511)
+    np.testing.assert_array_equal(rf.ATSC_PN63[:16], ref63)
+    # PN511 is a maximal-length 9-bit sequence: balanced ones
+    assert rf.ATSC_PN511.sum() == 256
+
+
+def test_field_sync_segment_structure():
+    saved = np.arange(12, dtype=np.uint8)
+    seg = rf.field_sync_codes(0, saved)
+    assert seg.shape == (832,)
+    np.testing.assert_array_equal(seg[:4], [6, 1, 1, 6])      # 1001 at +-5
+    np.testing.assert_array_equal(seg[-12:], saved)           # precode copy
+    # field 2 inverts only the middle PN63
+    seg2 = rf.field_sync_codes(1, saved)
+    diff = np.nonzero(seg != seg2)[0]
+    assert diff.min() == 4 + 511 + 63 and diff.max() < 4 + 511 + 126
+
+
+def test_fpll_locks_to_pilot():
+    f_if = IF_NORM * FS
+    n = 60000
+    x = (1.25 * np.cos(2 * np.pi * IF_NORM * np.arange(n))).astype(np.float32)
+    st = rf.fpll_init_state(f_if * 1.0002, FS)   # 200 ppm initial offset
+    st, bb = rf.fpll(st, jnp.asarray(x), FS)
+    err = float(st.freq) - 2 * np.pi * IF_NORM
+    assert abs(err) < 2e-4                        # pulled toward lock
+    # locked in phase: mean I approaches pilot * gain / 2
+    tail = float(np.mean(np.asarray(bb)[-5000:]))
+    assert tail > 0.5 * 1.25 * float(st.gain) / 2
+
+
+def _clean_symbol_stream(nseg):
+    segs = RNG.choice([-7, -5, -3, -1, 1, 3, 5, 7],
+                      size=(nseg, 832)).astype(np.float32)
+    segs[:, :4] = [5, -5, -5, 5]
+    return segs.reshape(-1)
+
+
+def test_bit_timing_loop_locks_and_recovers():
+    sym_tx = _clean_symbol_stream(30)
+    rrc = firdes.root_raised_cosine(2.0, 2.0, 1.0, 0.115, 41).astype(
+        np.float32)
+    xs = np.asarray(interp_fir_filter(
+        jnp.concatenate([jnp.zeros(20, jnp.float32), jnp.asarray(sym_tx)]),
+        jnp.asarray(rrc), 2))
+    st = rf.btl_init_state(2.0)
+    nseg = int((len(xs) - rf.BTL_WINDOW) // (2.0 * 832))
+    st, sym, _, locked, _, _ = rf.bit_timing_loop(st, jnp.asarray(xs), nseg)
+    sym, locked = np.asarray(sym), np.asarray(locked)
+    assert locked[-5:].all()                      # seg sync acquired
+    a = sym_tx[: len(sym)]
+    xc = np.correlate(sym - sym.mean(), a - a.mean(), "full")
+    lag = int(xc.argmax()) - (len(a) - 1)
+    s = slice(12 * 832, 24 * 832)
+    corr = np.corrcoef(a[s.start - lag:s.stop - lag], sym[s])[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_fs_correlator_finds_field_syncs():
+    mux = rf.AtscFieldSyncMux()
+    data = RNG.integers(0, 8, (630, 828)).astype(np.uint8)
+    stream = mux(data).astype(np.float32) * 2 - 7
+    # corrupt a few sync bits: detection must tolerate < 20 errors
+    stream[10:16] = -stream[10:16]
+    tag, field = (np.asarray(a) for a in rf.fs_correlate(jnp.asarray(stream)))
+    pos = np.nonzero(tag)[0]
+    assert list(pos[:3]) == [0, 313 * 832, 2 * 313 * 832]
+    assert list(field[pos[:3]]) == [0, 1, 0]      # alternating fields
+
+
+@pytest.mark.slow
+def test_rf_transport_loopback():
+    """Packets -> full TX coding -> VSB RF -> FPLL/BTL/FS/EQ -> packets."""
+    npkt = int(312 * 2.3)
+    payload = RNG.integers(0, 256, (npkt, 187)).astype(np.uint8)
+    pkts = np.concatenate(
+        [np.full((npkt, 1), 0x47, np.uint8), payload], axis=1)
+    tx = AtscTransmitter()
+    levels = tx.process(pkts)
+    codes = ((levels + 7) // 2).astype(np.uint8)
+    nseg = len(codes) // 828
+    mux = rf.AtscFieldSyncMux()
+    stream_codes = mux(codes[: nseg * 828].reshape(nseg, 828))
+    sym = stream_codes.astype(np.float32) * 2 - 7 + 1.25   # + pilot
+    rrc5 = firdes.root_raised_cosine(5.0, 5.0, 1.0, 0.115, 201).astype(
+        np.float32)
+    up5 = np.asarray(interp_fir_filter(
+        jnp.concatenate([jnp.zeros(40, jnp.float32), jnp.asarray(sym)]),
+        jnp.asarray(rrc5), 5))
+    passband = rf.vsb_modulate(up5[::2].astype(np.float64), IF_NORM, RATIO)
+
+    rx = rf.AtscRfReceiver(fs=FS, if_freq=IF_NORM * FS, ratio=RATIO)
+    fields = rx.process(passband)
+    assert len(fields) >= 1
+    out, bad = AtscReceiver().process(fields[0].reshape(-1))
+    assert bad == 0
+    matches = [sum(np.array_equal(out[i], pkts[k * 312 + i])
+                   for i in range(min(len(out), npkt - k * 312)))
+               for k in range(2)]
+    assert max(matches) == len(out) == 260
