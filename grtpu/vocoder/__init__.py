@@ -42,6 +42,7 @@ from grtpu.vocoder.g72x import (
     g72x_encode,
     g72x_init_state,
 )
+from grtpu.vocoder.codec2 import Codec2, Codec2Decode, Codec2Encode
 from grtpu.vocoder.cvsd import CvsdDecode, CvsdEncode
 from grtpu.vocoder.gsm import (
     GsmFrDecode,
@@ -60,6 +61,7 @@ __all__ = [
     "G723_40Encode", "G723_40Decode",
     "g72x_encode", "g72x_decode", "g72x_init_state",
     "CvsdEncode", "CvsdDecode",
+    "Codec2", "Codec2Encode", "Codec2Decode",
     "GsmFrEncode", "GsmFrDecode", "gsm_fr_encode", "gsm_fr_decode",
     "gsm_init_encode_state", "gsm_init_decode_state",
 ]
