@@ -113,7 +113,8 @@ class ProbeDensity(Block):
         self.captured = None
 
     def init_state(self):
-        return jnp.zeros((), jnp.float32)
+        # gr_probe_density_b.cc:42 — d_density starts at 1.0
+        return jnp.ones((), jnp.float32)
 
     def apply(self, state, x):
         _, st = dsp.single_pole_iir(x.astype(jnp.float32), state, self.alpha)
@@ -121,9 +122,9 @@ class ProbeDensity(Block):
 
     def density(self):
         if self.captured is None:
-            return 0.0
+            return 1.0
         x = np.asarray(self.captured[0]).astype(np.float64)
-        acc = 0.0
+        acc = 1.0
         for v in x:
             acc = self.alpha * v + (1 - self.alpha) * acc
         return acc

@@ -21,7 +21,7 @@ from grtpu.blocks.pfb import pfb_clock_sync, pfb_clock_sync_init
 from grtpu.digital import loops
 from grtpu.digital.constellation import Constellation, psk_constellation
 from grtpu.ops.fir import interp_fir_filter
-from grtpu.utils import firdes
+from grtpu.utils import firdes, xfer
 
 
 class GenericModem:
@@ -60,6 +60,10 @@ class GenericModem:
         for i, g in enumerate(gray):
             inv[g] = i
         self.ungray_map = inv
+        # device compute is jitted (per input shape): one fused XLA program
+        # per direction, and eager-complex-constant-free (tunnel-safe)
+        self._mod_jit = jax.jit(self._mod_dev)
+        self._demod_jit = jax.jit(self._demod_dev)
 
     # ----------------------------------------------------------------- mod
     def modulate(self, bits: np.ndarray) -> jnp.ndarray:
@@ -72,16 +76,30 @@ class GenericModem:
         else:
             p = g
         cpx = np.asarray(self.constellation.points)[p]
+        return self._mod_jit(xfer.device_complex(cpx))
+
+    def _mod_dev(self, cpx):
         kp = -(-len(self.rrc) // self.sps)
-        xh = jnp.concatenate([jnp.zeros(kp - 1, jnp.complex64),
-                              jnp.asarray(cpx.astype(np.complex64))])
+        xh = jnp.pad(cpx, (kp - 1, 0))
         return interp_fir_filter(xh, jnp.asarray(self.rrc), self.sps)
 
     # --------------------------------------------------------------- demod
     def demodulate(self, x) -> np.ndarray:
         """agc2 -> fll_band_edge -> pfb_clock_sync -> constellation
         receiver -> diff decode -> ungray -> bits."""
-        x = jnp.asarray(x)
+        return self._demodulate(x)[0]
+
+    def demodulate_diag(self, x):
+        """demodulate + receiver diagnostics (the bert_rx probe points:
+        recovered symbol samples for the SNR probe, FLL frequency for
+        frequency_offset(), clock-sync rate for timing_offset(); see
+        gr-digital/examples/narrowband/digital_bert_rx.py:75-97)."""
+        return self._demodulate(x)
+
+    def _demod_dev(self, x):
+        """Device half of the receive chain.  Returns f32-typed outputs
+        only (symbol indices, re/im symbol samples, loop scalars) so host
+        readback never touches non-f32 transfer paths."""
         # agc2
         def agc_scan(g, xi):
             y = xi * g
@@ -93,24 +111,45 @@ class GenericModem:
         # fll band edge
         fsz = int(self.sps * 4)
         xh = jnp.concatenate([jnp.zeros(fsz - 1, jnp.complex64), xa])
-        xf, _ = loops.fll_band_edge(xh, loops.fll_init_state(),
-                                    float(self.sps), self.excess_bw, fsz,
-                                    self.freq_bw)
+        xf, fll_state = loops.fll_band_edge(xh, loops.fll_init_state(),
+                                            float(self.sps), self.excess_bw,
+                                            fsz, self.freq_bw)
         # pfb clock sync on the matched-filter bank
         st = pfb_clock_sync_init(self.nfilts)
-        ys, n_valid, _ = pfb_clock_sync(xf, st, float(self.sps),
-                                        self.mf_bank, self.nfilts,
-                                        self.timing_bw)
+        ys, n_valid, clk_state = pfb_clock_sync(xf, st, float(self.sps),
+                                                self.mf_bank, self.nfilts,
+                                                self.timing_bw)
         sym_samps = ys[: 1 << 30]
         # constellation receiver (phase loop + decisions)
         syms, _, _ = loops.constellation_receiver(
             sym_samps, loops.costas_init_state(), self.constellation,
             self.phase_bw)
-        dec = np.asarray(syms)[: int(n_valid)]
+        return (syms.astype(jnp.float32), n_valid.astype(jnp.float32),
+                jnp.real(sym_samps).astype(jnp.float32),
+                jnp.imag(sym_samps).astype(jnp.float32),
+                fll_state[1].astype(jnp.float32),
+                clk_state[1].astype(jnp.float32))
+
+    def _demodulate(self, x):
+        x = xfer.device_complex(np.asarray(x)) if isinstance(
+            x, np.ndarray) else jnp.asarray(x)
+        syms_f, nv_f, sre, sim, freq, rate = self._demod_jit(x)
+        nv = int(np.asarray(nv_f))
+        dec = np.asarray(syms_f).astype(np.int32)[:nv]
         if self.differential:
             d = (dec - np.concatenate([[0], dec[:-1]])) % self.m
         else:
             d = dec
         out = self.ungray_map[d]
         bits = ((out[:, None] >> np.arange(self.k - 1, -1, -1)) & 1)
-        return bits.reshape(-1).astype(np.uint8)
+        diag = {
+            # derotated symbol-rate samples (bert SNR probe tap point)
+            "symbols": (np.asarray(sre)[:nv]
+                        + 1j * np.asarray(sim)[:nv]).astype(np.complex64),
+            # FLL loop frequency, radians/sample (freq_recov.get_frequency)
+            "freq": float(np.asarray(freq)),
+            # clock-sync rate deviation, filter-bank steps/symbol
+            # (time_recov.get_clock_rate)
+            "clock_rate": float(np.asarray(rate)),
+        }
+        return bits.reshape(-1).astype(np.uint8), diag

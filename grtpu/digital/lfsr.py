@@ -54,17 +54,37 @@ class GLFSR:
 
 
 class FibonacciLfsr:
-    """Fibonacci LFSR (gri_lfsr): feedback = parity(reg & mask)."""
+    """Fibonacci LFSR, bit-exact to gri_lfsr (gri_lfsr.h:113-118):
+    the register is reg_len+1 bits wide; each step outputs the LSB,
+    right-shifts, and inserts parity(reg & mask) at bit reg_len."""
 
     def __init__(self, mask: int, seed: int, reg_len: int):
         self.mask = mask
+        self.seed = seed
         self.reg = seed
-        self.len_mask = (1 << reg_len) - 1
+        self.reg_len = reg_len
 
     def next_bit(self) -> int:
-        out = bin(self.reg & self.mask).count("1") & 1
-        self.reg = ((self.reg << 1) | out) & self.len_mask
+        out = self.reg & 1
+        newbit = bin(self.reg & self.mask).count("1") & 1
+        self.reg = (self.reg >> 1) | (newbit << self.reg_len)
         return out
+
+    def reset(self):
+        self.reg = self.seed
+
+    def period(self) -> int:
+        """Length of the state cycle starting from seed (the free-running
+        additive-scrambler sequence period)."""
+        save, n = self.reg, 0
+        self.reg = self.seed
+        while True:
+            self.next_bit()
+            n += 1
+            if self.reg == self.seed or n > (1 << (self.reg_len + 1)):
+                break
+        self.reg = save
+        return n
 
     def sequence(self, n: int) -> np.ndarray:
         return np.array([self.next_bit() for _ in range(n)], np.uint8)
@@ -106,28 +126,58 @@ class AdditiveScrambler(Block):
         self.out_ports = (Port(jnp.uint8),)
         super().__init__(name)
         self.mask, self.seed, self.length, self.count = mask, seed, length, count
-        # data-independent sequence: precompute one period (or reset block)
+        # Data-independent sequence: precompute transient + cycle.  With
+        # count>0 the reference resets the register every count bits
+        # (gr_additive_scrambler_bb.cc:55-60) -> pure period=count.  Free
+        # running, the seed may sit on a tail leading INTO the state cycle
+        # (e.g. 0x8A/0x7F/7 has a 1-bit transient then a 63-bit cycle), so
+        # model sequence = prefix ++ cycle*.
         l = FibonacciLfsr(mask, seed, length)
-        period = count if count else (1 << length) - 1
-        self.seq = l.sequence(period)
-        self.period = period
+        if count:
+            prefix_len, cycle_len = 0, count
+        else:
+            reg, seen = seed, {}
+            bits = []
+            while reg not in seen:
+                seen[reg] = len(bits)
+                bits.append(reg & 1)
+                newbit = bin(reg & mask).count("1") & 1
+                reg = (reg >> 1) | (newbit << length)
+            prefix_len = seen[reg]
+            cycle_len = len(bits) - prefix_len
+        l.reset()
+        self.seq = l.sequence(prefix_len + cycle_len)
+        self.prefix_len, self.cycle_len = prefix_len, cycle_len
 
     def init_state(self):
         return jnp.zeros((), jnp.int32)
 
     def apply(self, state, x):
         n = x.shape[0]
-        idx = (state + jnp.arange(n)) % self.period
+        t, c = self.prefix_len, self.cycle_len
+        pos = state + jnp.arange(n)
+        idx = jnp.where(pos < t + c, pos, t + (pos - t) % c)
         bits = jnp.asarray(self.seq)[idx]
-        return (state + n) % self.period, (x ^ bits).astype(jnp.uint8)
+        # fold the carried position (cycle-equivalent) so it never overflows
+        end = state + n
+        end = jnp.where(end < t, end, t + (end - t) % c)
+        return end.astype(jnp.int32), (x ^ bits).astype(jnp.uint8)
+
+
+def _parity32(v):
+    """32-bit parity via xor-folding (VPU-friendly, no popcount op)."""
+    v = v ^ (v >> 16)
+    v = v ^ (v >> 8)
+    v = v ^ (v >> 4)
+    v = v ^ (v >> 2)
+    v = v ^ (v >> 1)
+    return v & 1
 
 
 class Scrambler(Block):
-    """gr_scrambler_bb: multiplicative (self-synchronizing) scrambler.
-
-    out = parity((reg & mask)) ^ in; reg <- (reg << 1) | out.
-    Sequential by construction -> lax.scan over bits.
-    """
+    """gr_scrambler_bb, bit-exact (gri_lfsr.h:120-125 next_bit_scramble):
+    out = reg & 1;  reg <- (reg >> 1) | ((parity(reg & mask) ^ in) << L).
+    Sequential by construction -> lax.scan with an integer register."""
 
     def __init__(self, mask: int, seed: int, length: int, name=None):
         self.in_ports = (Port(jnp.uint8),)
@@ -140,21 +190,12 @@ class Scrambler(Block):
 
     def apply(self, state, x):
         mask = jnp.uint32(self.mask)
-        lm = jnp.uint32((1 << self.length) - 1)
-
-        def popcount_parity(v):
-            # 32-bit parity via xor-folding
-            v = v ^ (v >> 16)
-            v = v ^ (v >> 8)
-            v = v ^ (v >> 4)
-            v = v ^ (v >> 2)
-            v = v ^ (v >> 1)
-            return v & 1
+        shift = self.length
 
         def f(reg, xi):
-            fb = popcount_parity(reg & mask)
-            out = (xi.astype(jnp.uint32) & 1) ^ fb
-            reg = ((reg << 1) | out) & lm
+            out = reg & 1
+            newbit = _parity32(reg & mask) ^ (xi.astype(jnp.uint32) & 1)
+            reg = (reg >> 1) | (newbit << shift)
             return reg, out.astype(jnp.uint8)
 
         reg, y = jax.lax.scan(f, state, x)
@@ -162,7 +203,9 @@ class Scrambler(Block):
 
 
 class Descrambler(Block):
-    """gr_descrambler_bb: inverse of Scrambler (feed input into register)."""
+    """gr_descrambler_bb, bit-exact (gri_lfsr.h:127-132
+    next_bit_descramble): out = parity(reg & mask) ^ in;
+    reg <- (reg >> 1) | (in << L).  Self-synchronizing."""
 
     def __init__(self, mask: int, seed: int, length: int, name=None):
         self.in_ports = (Port(jnp.uint8),)
@@ -175,20 +218,12 @@ class Descrambler(Block):
 
     def apply(self, state, x):
         mask = jnp.uint32(self.mask)
-        lm = jnp.uint32((1 << self.length) - 1)
-
-        def parity(v):
-            v = v ^ (v >> 16)
-            v = v ^ (v >> 8)
-            v = v ^ (v >> 4)
-            v = v ^ (v >> 2)
-            v = v ^ (v >> 1)
-            return v & 1
+        shift = self.length
 
         def f(reg, xi):
             xin = xi.astype(jnp.uint32) & 1
-            out = parity(reg & mask) ^ xin
-            reg = ((reg << 1) | xin) & lm
+            out = _parity32(reg & mask) ^ xin
+            reg = (reg >> 1) | (xin << shift)
             return reg, out.astype(jnp.uint8)
 
         reg, y = jax.lax.scan(f, state, x)

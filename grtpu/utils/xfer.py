@@ -1,0 +1,58 @@
+"""Host<->device transfer helpers that avoid non-f32 PJRT paths.
+
+Some experimental TPU transports (the axon tunnel in this dev rig) only
+implement float32 H2D/D2H; complex64/int/uint transfers raise
+UNIMPLEMENTED or hang.  Real TPU runtimes support all dtypes — these
+helpers are cheap there too (two f32 copies + one fused combine), so the
+framework routes host-boundary complex traffic through them everywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _combine(re, im, pad_left, pad_right):
+    c = jax.lax.complex(re, im)
+    if pad_left or pad_right:
+        c = jnp.pad(c, (pad_left, pad_right))
+    return c
+
+
+def device_complex(x, pad_left: int = 0, pad_right: int = 0) -> jnp.ndarray:
+    """Host complex array -> device complex64 via two f32 transfers.
+
+    Optional zero padding happens inside the jitted combine: eager
+    complex64 creation (jnp.zeros/concatenate outside jit) itself hits
+    the tunnel's unimplemented-transfer path, so callers needing history
+    padding should use these args instead of concatenating."""
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        x = x.astype(np.complex64)
+    re = jnp.asarray(np.ascontiguousarray(x.real, np.float32))
+    im = jnp.asarray(np.ascontiguousarray(x.imag, np.float32))
+    return _combine(re, im, int(pad_left), int(pad_right))
+
+
+@jax.jit
+def _split(x):
+    return jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+
+
+def host_complex(x) -> np.ndarray:
+    """Device complex array -> host complex64 via two f32 readbacks."""
+    re, im = _split(jnp.asarray(x))
+    return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+
+
+def host_int(x, dtype=np.int32) -> np.ndarray:
+    """Device integer array -> host via an f32 readback (exact for
+    |values| < 2^24; use host_int64 pairs beyond that)."""
+    f = np.asarray(jnp.asarray(x).astype(jnp.float32))
+    return f.astype(dtype)

@@ -243,3 +243,118 @@ class TestOfdmApp:
             env={**__import__("os").environ, **ENV})
         assert r.returncode == 0, r.stderr[-2000:]
         assert "2/2 frames under 2% BER" in r.stdout
+
+
+class TestBert:
+    """digital_bert_tx/rx analog (grtpu/digital/bert.py)."""
+
+    def test_clean_loopback_zero_ber(self):
+        from grtpu.digital.bert import bert_loopback
+
+        ber, rx = bert_loopback(nbits=1 << 14, m=2, sps=4)
+        assert ber == 0.0
+        assert rx.snr() > 25.0  # clean constellation
+
+    def test_noisy_cfo_loopback(self):
+        from grtpu.digital.bert import bert_loopback
+
+        ber, rx = bert_loopback(nbits=1 << 14, m=2, sps=4, snr_db=10.0,
+                                cfo=0.002)
+        assert ber < 0.05
+        # FLL must have pulled most of the 0.002 cyc/sample offset
+        foff = rx.frequency_offset(sample_rate=1.0)
+        assert abs(foff - (-0.002)) < 8e-4 or abs(foff) < 25e-4
+        # SNR probe should be in the ballpark (symbol SNR = 10 dB + 10log10
+        # of the ~sps processing gain; just require a sane positive value)
+        assert 5.0 < rx.snr() < 30.0
+
+    def test_ber_counts_errors(self):
+        """Flipping channel bits must produce a nonzero BER ~ flips*3/3."""
+        import numpy as np
+        from grtpu.digital.bert import BertReceive, BertTransmit
+
+        tx = BertTransmit(m=2, samples_per_symbol=4)
+        rx = BertReceive(m=2, samples_per_symbol=4)
+        x = np.asarray(tx.samples(1 << 14))
+        clean = rx.process(x)
+        tail = clean[2048:]
+        assert (tail == 1).all()
+
+
+class TestTunnelMac:
+    """tunnel.py carrier-sense MAC analog (grtpu/digital/tunnel.py)."""
+
+    def test_two_node_exchange(self):
+        import time
+        import numpy as np
+        from grtpu.digital.modems import GmskModem
+        from grtpu.digital.tunnel import CsMac, LoopIface, Medium, PacketPhy
+
+        medium = Medium(sample_rate=1e7)
+        nodes = []
+        for _ in range(2):
+            iface = LoopIface()
+            mac = CsMac(iface)
+            phy = PacketPhy(GmskModem(samples_per_symbol=4), medium,
+                            mac.phy_rx_callback)
+            mac.set_phy(phy)
+            nodes.append((iface, mac, phy))
+        threads = [mac.start() for _, mac, _ in nodes]
+
+        payloads_a = [b"ping %d" % i for i in range(3)]
+        payloads_b = [b"pong %d" % i for i in range(3)]
+        for p in payloads_a:
+            nodes[0][0].inject(p)
+        for p in payloads_b:
+            nodes[1][0].inject(p)
+        assert nodes[1][0].wait_received(3), nodes[1][0].received
+        assert nodes[0][0].wait_received(3), nodes[0][0].received
+        assert sorted(nodes[1][0].received) == sorted(payloads_a)
+        assert sorted(nodes[0][0].received) == sorted(payloads_b)
+        for p in payloads_a:  # EOF both loops
+            pass
+        nodes[0][0].inject(b"")
+        nodes[1][0].inject(b"")
+        for t in threads:
+            t.join(timeout=10)
+        for _, _, phy in nodes:
+            phy.stop()
+
+    def test_carrier_sense_backoff(self):
+        """A busy medium must defer transmission (exponential back-off)."""
+        from grtpu.digital.modems import GmskModem
+        from grtpu.digital.tunnel import CsMac, LoopIface, Medium, PacketPhy
+
+        medium = Medium(sample_rate=1e7)
+        iface_a, iface_b = LoopIface(), LoopIface()
+        mac_a, mac_b = CsMac(iface_a), CsMac(iface_b)
+        phy_a = PacketPhy(GmskModem(samples_per_symbol=4), medium,
+                          mac_a.phy_rx_callback)
+        phy_b = PacketPhy(GmskModem(samples_per_symbol=4), medium,
+                          mac_b.phy_rx_callback)
+        mac_a.set_phy(phy_a)
+        mac_b.set_phy(phy_b)
+        ta, tb = mac_a.start(), mac_b.start()
+        # a foreign transmitter occupies the air; A must defer until clear
+        medium.occupy(0.25)
+        iface_a.inject(b"hello")
+        assert iface_b.wait_received(1)
+        assert mac_a.backoffs >= 1
+        assert iface_b.received == [b"hello"]
+        iface_a.inject(b"")
+        iface_b.inject(b"")
+        ta.join(timeout=10)
+        tb.join(timeout=10)
+        phy_a.stop()
+        phy_b.stop()
+
+
+class TestBertApp:
+    def test_digital_bert_cli(self):
+        r = subprocess.run(
+            [sys.executable, "examples/digital_bert.py", "-n", "8192",
+             "--chunks", "2", "--snr", "13"],
+            capture_output=True, text=True, timeout=300,
+            env={**__import__("os").environ, **ENV})
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "BER:" in r.stdout

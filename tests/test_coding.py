@@ -112,8 +112,8 @@ class TestScramblers:
         np.testing.assert_array_equal(sink.data(), bits)
 
     def test_multiplicative_roundtrip(self):
-        """scrambler -> descrambler recovers input (self-synchronizing,
-        qa_scrambler.py idiom)."""
+        """scrambler -> descrambler recovers input after the 8-bit sync
+        transient (qa_scrambler.py:33-41 skips 8 garbage bits)."""
         bits = RNG.randint(0, 2, 400).astype(np.uint8)
         from grtpu import Graph, StreamExecutor
         from grtpu.runtime.block import Port
@@ -126,7 +126,63 @@ class TestScramblers:
                   Descrambler(0x8A, 0x7F, 7), sink)
         ex = StreamExecutor(g, chunk_size=100)
         ex.run(jnp.asarray(bits))
-        np.testing.assert_array_equal(sink.data(), bits)
+        np.testing.assert_array_equal(sink.data()[8:], bits[:-8])
+
+    def test_scrambler_bit_exact_vs_gri_lfsr(self):
+        """Bit-exact vs a host emulation of gri_lfsr.h:113-132 (the
+        reference's exact register arithmetic)."""
+        import jax.numpy as jnp2
+
+        def gri_scramble(bits, mask, seed, L):
+            reg, out = seed, []
+            for b in bits:
+                out.append(reg & 1)
+                newbit = (bin(reg & mask).count("1") & 1) ^ (int(b) & 1)
+                reg = (reg >> 1) | (newbit << L)
+            return np.array(out, np.uint8)
+
+        def gri_descramble(bits, mask, seed, L):
+            reg, out = seed, []
+            for b in bits:
+                out.append((bin(reg & mask).count("1") & 1) ^ (int(b) & 1))
+                reg = (reg >> 1) | ((int(b) & 1) << L)
+            return np.array(out, np.uint8)
+
+        bits = RNG.randint(0, 2, 257).astype(np.uint8)
+        for mask, seed, L in [(0x8A, 0x7F, 7), (0x21, 0x1, 5)]:
+            s = Scrambler(mask, seed, L)
+            st, y = s.apply(s.init_state(), jnp2.asarray(bits))
+            np.testing.assert_array_equal(
+                np.asarray(y), gri_scramble(bits, mask, seed, L))
+            d = Descrambler(mask, seed, L)
+            st, z = d.apply(d.init_state(), jnp2.asarray(bits))
+            np.testing.assert_array_equal(
+                np.asarray(z), gri_descramble(bits, mask, seed, L))
+
+    def test_additive_bit_exact_vs_gri_lfsr(self):
+        """gr_additive_scrambler_bb: out = in ^ lfsr.next_bit(), register
+        reset every count bits (gr_additive_scrambler_bb.cc:55-60)."""
+        import jax.numpy as jnp2
+
+        def gri_additive(bits, mask, seed, L, count):
+            reg, nbits, out = seed, 0, []
+            for b in bits:
+                lsb = reg & 1
+                newbit = bin(reg & mask).count("1") & 1
+                reg = (reg >> 1) | (newbit << L)
+                out.append(int(b) ^ lsb)
+                if count > 0:
+                    nbits += 1
+                    if nbits == count:
+                        reg, nbits = seed, 0
+            return np.array(out, np.uint8)
+
+        bits = RNG.randint(0, 2, 700).astype(np.uint8)
+        for count in (0, 100):
+            blk = AdditiveScrambler(0x8A, 0x7F, 7, count)
+            st, y = blk.apply(blk.init_state(), jnp2.asarray(bits))
+            np.testing.assert_array_equal(
+                np.asarray(y), gri_additive(bits, 0x8A, 0x7F, 7, count))
 
     def test_glfsr_period(self):
         g = GLFSR(GLFSR.default_mask(5), 1)
