@@ -424,3 +424,85 @@ class TestImportAll:
             except Exception as e:  # noqa: BLE001
                 failures.append((mod.name, repr(e)))
         assert not failures, failures
+
+
+class TestTraceAux:
+    """§5.1/5.2 aux subsystems: step tracing, block timing, invariants."""
+
+    def _wfm_executor(self):
+        import jax.numpy as jnp
+        from grtpu import Graph, StreamExecutor
+        from grtpu.runtime.block import Port
+        from grtpu.models.fm import WfmRcv
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        pout = g.add_output(Port(jnp.float32))
+        g.connect(pin, WfmRcv(256e3, 8), pout)
+        return StreamExecutor(g, chunk_size=2048, donate=False)
+
+    def test_traced_executor_logs(self, tmp_path):
+        import io
+        import numpy as np
+        import jax.numpy as jnp
+        from grtpu.utils.trace import TracedExecutor
+
+        ex = self._wfm_executor()
+        buf = io.StringIO()
+        tx = TracedExecutor(ex, file=buf)
+        r = np.random.RandomState(0)
+        iq = jnp.asarray((r.randn(2048) + 1j * r.randn(2048))
+                         .astype(np.complex64))
+        tx.step(iq)
+        tx.step(iq)
+        lines = buf.getvalue().strip().split("\n")
+        assert len(lines) == 2
+        assert lines[0].startswith("step=0 wall_ms=")
+        assert "items=" in lines[1]
+
+    def test_block_timings(self):
+        from grtpu.utils.trace import block_timings
+
+        ex = self._wfm_executor()
+        t = block_timings(ex, iters=3)
+        assert t, "no blocks timed"
+        import math
+        assert all(math.isnan(v) or v >= 0 for v in t.values()), t
+
+    def test_validate_state_clean_and_nan(self):
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+        from grtpu.utils.trace import validate_state
+
+        ex = self._wfm_executor()
+        ref = jax.tree_util.tree_map(lambda a: a, ex.state)
+        r = np.random.RandomState(0)
+        iq = jnp.asarray((r.randn(2048) + 1j * r.randn(2048))
+                         .astype(np.complex64))
+        ex.step(iq)
+        assert validate_state(ex, ref) == []
+        # poison the first nonempty float leaf anywhere in the state
+        done = [False]
+
+        def poison(a):
+            if (not done[0] and hasattr(a, "dtype")
+                    and jnp.issubdtype(a.dtype, jnp.inexact)
+                    and getattr(a, "size", 0)):
+                done[0] = True
+                return a * jnp.nan
+            return a
+
+        ex.state = jax.tree_util.tree_map(poison, ex.state)
+        assert done[0], "no float leaf found to poison"
+        probs = validate_state(ex)
+        assert any("non-finite" in p for p in probs), probs
+
+    def test_profile_smoke(self, tmp_path):
+        import jax.numpy as jnp
+        from grtpu.utils.trace import profile, high_res_timer_now
+
+        assert high_res_timer_now() > 0
+        with profile(str(tmp_path / "tb")):
+            jnp.ones(8).sum().block_until_ready()
+        assert any((tmp_path / "tb").rglob("*"))
