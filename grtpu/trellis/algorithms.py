@@ -147,3 +147,231 @@ def siso(fsm: FSM, metrics: jnp.ndarray, start_state: int = 0,
 
     _, apps = jax.lax.scan(app, 0, (alphas, betas, metrics, prior_in))
     return apps
+
+
+# ---------------------------------------------------------------------------
+# Cost-domain SISO + turbo decoders (reference-faithful semantics)
+# ---------------------------------------------------------------------------
+#
+# The reference works in the negative-log (cost) domain: metrics are
+# distances (smaller = better) and combining is min (max-log / TRELLIS_MIN_SUM)
+# or min* = -log(e^-a + e^-b) (log-MAP / TRELLIS_SUM_PRODUCT)
+# (core_algorithms.cc:34-44).  The turbo decoders below mirror
+# sccc_decoder / pccc_decoder (core_algorithms.cc:973-1067, 1105-1207)
+# including their extrinsic-information bookkeeping:
+#   * POSTI excludes the step-k input prior from the input posterior
+#     (core_algorithms.cc:488-501);
+#   * POSTO excludes the step-k output prior from the output posterior
+#     (core_algorithms.cc:504-519).
+
+INF = 1e9
+
+
+def _reduce(x: jnp.ndarray, axis: int, sum_product: bool) -> jnp.ndarray:
+    """min (TRELLIS_MIN_SUM) or min* (TRELLIS_SUM_PRODUCT) reduction over
+    cost-domain values (core_algorithms.cc min/min_star)."""
+    if sum_product:
+        return -jax.scipy.special.logsumexp(-x, axis=axis)
+    return jnp.min(x, axis=axis)
+
+
+def calc_metric_cost(obs: jnp.ndarray, table: jnp.ndarray, dim: int = 1,
+                     metric_type: str = "euclidean") -> jnp.ndarray:
+    """calc_metric (calc_metric.cc:30-70): (T*dim,) observations vs O
+    table rows of dimension dim -> (T, O) POSITIVE costs.
+
+    "euclidean": squared distance.  "hard_symbol": 0 for the nearest table
+    row, 1 elsewhere.  ("hard_bit" is unimplemented in the reference too.)
+    """
+    o = obs.reshape(-1, dim)
+    t = jnp.asarray(table).reshape(-1, dim)
+    if jnp.iscomplexobj(o) or jnp.iscomplexobj(t):
+        d = (jnp.abs(o[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    else:
+        d = ((o[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    if metric_type == "euclidean":
+        return d
+    if metric_type == "hard_symbol":
+        best = jnp.argmin(d, axis=1)
+        return jnp.where(jnp.arange(d.shape[1])[None, :] == best[:, None],
+                         0.0, 1.0)
+    raise ValueError(f"unknown metric type {metric_type!r}")
+
+
+def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
+              start_state: int = 0, end_state: int = -1,
+              posti: bool = True, posto: bool = False,
+              sum_product: bool = False):
+    """siso_algorithm (core_algorithms.cc:418-563) in the cost domain.
+
+    Args:
+      priori: (K, I) input-symbol prior costs.
+      prioro: (K, O) output-symbol prior costs (channel metrics).
+      posti/posto: which posteriors to return (POSTI/POSTO flags).
+
+    Returns (K, I), (K, O), or ((K, I), (K, O)) per the flags; each row is
+    normalized so its min is 0 (the reference's per-step norm subtraction).
+    TPU-native: forward/backward are lax.scans over the S-vector of state
+    costs; the combine steps are one batched (K, S, I) tensor reduction.
+    """
+    S, I = fsm.S, fsm.I
+    NS = jnp.asarray(fsm.NS)                    # (S, I)
+    OS = jnp.asarray(fsm.OS)
+    PS = jnp.maximum(jnp.asarray(fsm.PS), 0)    # (S, deg)
+    PI = jnp.maximum(jnp.asarray(fsm.PI), 0)
+    pvalid = jnp.asarray(fsm.PS >= 0)
+    edge_out_pred = OS[PS, PI]                  # (S, deg)
+    priori = jnp.asarray(priori, jnp.float32)
+    prioro = jnp.asarray(prioro, jnp.float32)
+
+    a0 = (jnp.zeros((S,), jnp.float32) if start_state < 0
+          else jnp.full((S,), INF, jnp.float32).at[start_state].set(0.0))
+    bK = (jnp.zeros((S,), jnp.float32) if end_state < 0
+          else jnp.full((S,), INF, jnp.float32).at[end_state].set(0.0))
+
+    def fwd(a, inp):
+        pri, pro = inp
+        cand = jnp.where(pvalid, a[PS] + pri[PI] + pro[edge_out_pred], INF)
+        a_new = _reduce(cand, 1, sum_product)
+        return a_new - a_new.min(), a           # emit alpha BEFORE step t
+
+    _, alphas = jax.lax.scan(fwd, a0, (priori, prioro))   # (K, S)
+
+    def bwd(b, inp):
+        pri, pro = inp
+        cand = b[NS] + pri[None, :] + pro[OS]   # (S, I)
+        b_new = _reduce(cand, 1, sum_product)
+        return b_new - b_new.min(), b           # emit beta_{t+1}
+
+    _, betas = jax.lax.scan(bwd, bK, (priori, prioro), reverse=True)  # (K, S)
+
+    out = []
+    if posti:
+        # post_in[t,i] = reduce_j alpha[t,j] + prioro[t, OS[j,i]] + beta[t+1, NS[j,i]]
+        val = alphas[:, :, None] + prioro[:, OS] + betas[:, NS]   # (K, S, I)
+        pi_ = _reduce(val, 1, sum_product)
+        out.append(pi_ - pi_.min(axis=1, keepdims=True))
+    if posto:
+        # post_out[t,n] = reduce over edges (j,i) with OS[j,i] == n of
+        #                 alpha[t,j] + priori[t,i] + beta[t+1, NS[j,i]]
+        val = (alphas[:, :, None] + priori[:, None, :] + betas[:, NS])
+        val = val.reshape(val.shape[0], S * I)                     # (K, S*I)
+        onehot = np.zeros((S * I, fsm.O), bool)
+        onehot[np.arange(S * I), np.asarray(fsm.OS).reshape(-1)] = True
+        masked = jnp.where(jnp.asarray(onehot)[None, :, :],
+                           val[:, :, None], INF)                   # (K, S*I, O)
+        po_ = _reduce(masked, 1, sum_product)
+        out.append(po_ - po_.min(axis=1, keepdims=True))
+    return tuple(out) if len(out) == 2 else out[0]
+
+
+def sccc_decoder(fsm_o: FSM, fsm_i: FSM, interleaver, iprioro: jnp.ndarray,
+                 iterations: int = 10, sto0: int = 0, stok: int = -1,
+                 sti0: int = 0, stik: int = -1,
+                 sum_product: bool = False) -> jnp.ndarray:
+    """Serially-concatenated-code turbo decoder
+    (core_algorithms.cc sccc_decoder :973-1067).
+
+    iprioro: (K, FSMi.O) inner channel metric costs.  Requires
+    FSMo.O == FSMi.I (the SCCC wiring contract,
+    trellis_sccc_encoder_XX.cc.t:60).  Returns (K,) hard outer inputs.
+    """
+    if fsm_o.O != fsm_i.I:
+        raise ValueError("SCCC requires outer.O == inner.I")
+    K = iprioro.shape[0]
+    INTER = jnp.asarray(interleaver.INTER)
+    DEINTER = jnp.asarray(interleaver.DEINTER)
+    ipriori = jnp.zeros((K, fsm_i.I), jnp.float32)
+    opriori = jnp.zeros((K, fsm_o.I), jnp.float32)
+    oposti = None
+    for rep in range(iterations):
+        iposti = siso_cost(fsm_i, ipriori, iprioro, sti0, stik,
+                           posti=True, sum_product=sum_product)
+        oprioro = iposti[DEINTER]          # deinterleave inner -> outer
+        if rep < iterations - 1:
+            oposto = siso_cost(fsm_o, opriori, oprioro, sto0, stok,
+                               posti=False, posto=True,
+                               sum_product=sum_product)
+            ipriori = oposto[INTER]        # re-interleave outer -> inner
+        else:
+            oposti = siso_cost(fsm_o, opriori, oprioro, sto0, stok,
+                               posti=True, sum_product=sum_product)
+    return jnp.argmin(oposti, axis=1).astype(jnp.int32)
+
+
+def sccc_decoder_combined(fsm_o: FSM, fsm_i: FSM, interleaver,
+                          observations: jnp.ndarray, table: jnp.ndarray,
+                          dim: int = 1, metric_type: str = "euclidean",
+                          scaling: float = 1.0, iterations: int = 10,
+                          sum_product: bool = False, **kw) -> jnp.ndarray:
+    """sccc_decoder_combined (core_algorithms.cc:780-...): metric
+    calculation fused with decoding.  Divergence: the reference's scaling
+    loop touches only metric element 0 of each step
+    (core_algorithms.cc:810, an indexing slip); we scale the whole metric
+    vector, which is the evident intent."""
+    m = calc_metric_cost(observations, table, dim, metric_type) * scaling
+    return sccc_decoder(fsm_o, fsm_i, interleaver, m, iterations,
+                        sum_product=sum_product, **kw)
+
+
+def pccc_decoder(fsm1: FSM, fsm2: FSM, interleaver, cprioro: jnp.ndarray,
+                 iterations: int = 10, st10: int = 0, st1k: int = -1,
+                 st20: int = 0, st2k: int = -1,
+                 sum_product: bool = False) -> jnp.ndarray:
+    """Parallel-concatenated (turbo) decoder
+    (core_algorithms.cc pccc_decoder :1105-1207).
+
+    cprioro: (K, O1*O2) combined-output metric costs, combined symbol
+    c = o1 * FSM2.O + o2.  Divergence: the reference strides the combined
+    index by FSM1.O for both marginals (core_algorithms.cc:1128-1139 and
+    trellis_pccc_encoder_XX.cc.t out = o1*FSM1.O()+o2) — consistent only
+    when O1 == O2 (true of every in-tree example); we use the collision-free
+    o1*O2+o2 on both sides.  Returns (K,) hard decisions for the common input.
+    """
+    if fsm1.I != fsm2.I:
+        raise ValueError("PCCC requires FSM1.I == FSM2.I")
+    K = cprioro.shape[0]
+    INTER = jnp.asarray(interleaver.INTER)
+    DEINTER = jnp.asarray(interleaver.DEINTER)
+    comb = jnp.asarray(cprioro, jnp.float32).reshape(K, fsm1.O, fsm2.O)
+    # Marginal metrics, computed once (the reference notes they are not
+    # refined per iteration either, core_algorithms.cc:1124).
+    prioro1 = _reduce(comb, 2, sum_product)    # (K, O1)
+    prioro2 = _reduce(comb, 1, sum_product)    # (K, O2)
+    priori1 = jnp.zeros((K, fsm1.I), jnp.float32)
+    posti1 = None
+    for _ in range(iterations):
+        posti1 = siso_cost(fsm1, priori1, prioro1, st10, st1k,
+                           posti=True, sum_product=sum_product)
+        priori2 = posti1[INTER]
+        posti2 = siso_cost(fsm2, priori2, prioro2, st20, st2k,
+                           posti=True, sum_product=sum_product)
+        priori1 = posti2[DEINTER]
+    # Hard decisions combine the final extrinsic pair (cc:1191-1204).
+    total = _reduce(jnp.stack([priori1, posti1], 0), 0, sum_product)
+    return jnp.argmin(total, axis=1).astype(jnp.int32)
+
+
+def pccc_decoder_combined(fsm1: FSM, fsm2: FSM, interleaver,
+                          observations: jnp.ndarray, table: jnp.ndarray,
+                          dim: int = 1, metric_type: str = "euclidean",
+                          scaling: float = 1.0, iterations: int = 10,
+                          sum_product: bool = False, **kw) -> jnp.ndarray:
+    """pccc_decoder_combined (core_algorithms.cc:1243-...); same whole-vector
+    scaling divergence as sccc_decoder_combined."""
+    m = calc_metric_cost(observations, table, dim, metric_type) * scaling
+    return pccc_decoder(fsm1, fsm2, interleaver, m, iterations,
+                        sum_product=sum_product, **kw)
+
+
+def fsm_encode(fsm: FSM, inputs: jnp.ndarray, start_state=0):
+    """Jit-friendly FSM run (trellis_encoder_XX work): returns
+    (final_state, (T,) output symbols)."""
+    NS = jnp.asarray(fsm.NS)
+    OS = jnp.asarray(fsm.OS)
+
+    def step(s, i):
+        return NS[s, i], OS[s, i]
+
+    s0 = jnp.asarray(start_state, jnp.int32)
+    return jax.lax.scan(step, s0, jnp.asarray(inputs, jnp.int32))

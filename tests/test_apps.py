@@ -307,8 +307,10 @@ class TestTunnelMac:
             nodes[0][0].inject(p)
         for p in payloads_b:
             nodes[1][0].inject(p)
-        assert nodes[1][0].wait_received(3), nodes[1][0].received
-        assert nodes[0][0].wait_received(3), nodes[0][0].received
+        # Generous deadline: first-time jit compiles of the GMSK mod/demod
+        # happen inside the MAC threads and can take >30 s under suite load.
+        assert nodes[1][0].wait_received(3, timeout=180.0), nodes[1][0].received
+        assert nodes[0][0].wait_received(3, timeout=180.0), nodes[0][0].received
         assert sorted(nodes[1][0].received) == sorted(payloads_a)
         assert sorted(nodes[0][0].received) == sorted(payloads_b)
         for p in payloads_a:  # EOF both loops
