@@ -4,8 +4,11 @@ Covers the reference's gr-trellis/src/examples suite:
   * tcm    — trellis-coded modulation + Viterbi (test_tcm.py)
   * eq     — Viterbi equalization of an ISI channel
              (test_viterbi_equalization.py)
-  * sccc   — serial turbo over 8PSK (test_sccc_turbo.py)
-  * pccc   — parallel turbo (test_pccc_turbo1.py)
+  * sccc     — serial turbo over 8PSK (test_sccc_turbo.py)
+  * pccc     — parallel turbo (test_pccc_turbo1.py)
+  * turbo-eq — turbo equalization of Proakis channel C
+               (test_turbo_equalization.py: the ISI trellis is the SCCC
+               inner code)
 
 TPU-native: one jitted simulate() runs `rep` packets as a vmapped batch —
 the whole Monte-Carlo sweep is a single device program instead of the
@@ -155,9 +158,42 @@ def sim_pccc(esn0_db, K, rep, seed, iterations):
     return int(one_batch(data, noise)), rep * K
 
 
+def sim_turbo_eq(esn0_db, K, rep, seed, iterations):
+    """Turbo equalization (test_turbo_equalization.py): outer (5,7) code ->
+    interleave -> 4-PAM through Proakis channel C; the ISI trellis acts as
+    the SCCC inner 'code', so the receiver IS the SCCC turbo loop."""
+    channel = list(fsm_utils.c_channel)
+    fsm_i = FSM.from_isi(4, len(channel))
+    dim, lookup = fsm_utils.make_isi_lookup(fsm_utils.pam4, channel, True)
+    lut = np.asarray(lookup, np.float32)
+    il = Interleaver.random(K, seed=666)
+    rng = np.random.default_rng(seed)
+    data = _packets(rng, rep, K, FSM4.I)
+    es = float(np.mean(lut ** 2))
+    n0 = es / 10 ** (esn0_db / 10)
+    noise = jnp.asarray(
+        np.sqrt(n0 / 2) * rng.standard_normal((rep, K)), jnp.float32)
+    INTER = jnp.asarray(il.INTER)
+
+    @jax.jit
+    def one_batch(data, noise):
+        data = data.astype(jnp.int32)
+        def one(d, n):
+            _, mid = fsm_encode(FSM4, d)
+            _, out = fsm_encode(fsm_i, mid[INTER])
+            rx = jnp.asarray(lut)[out] + n
+            m = calc_metric_cost(rx, jnp.asarray(lut), dim)
+            return sccc_decoder(FSM4, fsm_i, il, m, iterations)
+        dec = jax.vmap(one)(data, noise)
+        return (dec != data).sum().astype(jnp.float32)
+
+    return int(one_batch(data, noise)), rep * K
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("scheme", choices=["tcm", "eq", "sccc", "pccc"])
+    ap.add_argument("scheme",
+                    choices=["tcm", "eq", "sccc", "pccc", "turbo-eq"])
     ap.add_argument("-e", "--esn0", type=float, default=10.0,
                     help="Es/N0 in dB")
     ap.add_argument("-K", type=int, default=1024,
@@ -174,9 +210,12 @@ def main():
     elif args.scheme == "sccc":
         errs, total = sim_sccc(args.esn0, args.K, args.repetitions,
                                args.seed, args.iterations)
-    else:
+    elif args.scheme == "pccc":
         errs, total = sim_pccc(args.esn0, args.K, args.repetitions,
                                args.seed, args.iterations)
+    else:
+        errs, total = sim_turbo_eq(args.esn0, args.K, args.repetitions,
+                                   args.seed, args.iterations)
     print(f"{args.scheme}: Es/N0={args.esn0:.1f} dB  {total} symbols  "
           f"{errs} errors  SER={errs / total:.3e}")
 

@@ -17,6 +17,7 @@ from grtpu.trellis.fsm import FSM, base2dec, dec2base
 __all__ = [
     "dec2base", "base2dec", "make_isi_lookup", "make_cpm_signals",
     "pam2", "pam4", "pam8", "psk2", "psk4", "psk8", "orth2", "orth4",
+    "c_channel",
 ]
 
 
@@ -104,6 +105,10 @@ psk4 = (2, [1, 0,
             -1, 0])
 psk8 = (2, sum(([math.cos(2 * math.pi * i / 8),
                  math.sin(2 * math.pi * i / 8)] for i in range(8)), []))
+
+# Proakis channel C, the examples' standard hard ISI test channel
+# (fsm_utils.py:206; used by test_turbo_equalization*.py).
+c_channel = [0.227, 0.460, 0.688, 0.460, 0.227]
 
 orth2 = (2, [1, 0,
              0, 1])

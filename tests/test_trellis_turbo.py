@@ -247,6 +247,46 @@ class TestSccc:
         assert (out == bits).all()
 
 
+class TestTurboEqualization:
+    """test_turbo_equalization.py: the ISI trellis as SCCC inner code."""
+
+    K = 64
+    CHANNEL = [0.9, 0.4, -0.3]
+
+    def _loopback(self, esn0_db, iterations, seed=0):
+        fsm_i = FSM.from_isi(4, len(self.CHANNEL))
+        dim, lookup = fsm_utils.make_isi_lookup(
+            fsm_utils.pam4, list(self.CHANNEL), True)
+        lut = np.asarray(lookup, np.float32)
+        il = Interleaver.random(self.K, seed=666)
+        rng = np.random.default_rng(seed)
+        bits = rng.integers(0, 2, self.K)
+        mid = FSM4.encode(bits)
+        out = fsm_i.encode(np.asarray(mid)[il.INTER])
+        es = float(np.mean(lut ** 2))
+        n0 = es / 10 ** (esn0_db / 10)
+        rx = (lut[out] + np.sqrt(n0 / 2)
+              * rng.standard_normal(self.K)).astype(np.float32)
+        m = calc_metric_cost(rx, lut, dim)
+        dec = np.asarray(sccc_decoder(FSM4, fsm_i, il, m, iterations))
+        return bits, dec
+
+    def test_high_snr_exact(self):
+        bits, dec = self._loopback(25.0, iterations=4)
+        assert (dec == bits).all()
+
+    def test_iteration_gain(self):
+        errs_1 = errs_6 = total = 0
+        for seed in range(4):
+            bits, d1 = self._loopback(9.0, 1, seed)
+            _, d6 = self._loopback(9.0, 6, seed)
+            errs_1 += int((d1 != bits).sum())
+            errs_6 += int((d6 != bits).sum())
+            total += len(bits)
+        assert errs_6 <= errs_1
+        assert errs_6 / total < 0.05
+
+
 class TestFsmConstructors:
     def test_isi_viterbi_equalization(self):
         """test_viterbi_equalization.py: FSM(mod_size, ch_length) + the
