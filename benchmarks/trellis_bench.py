@@ -1,0 +1,97 @@
+"""Trellis decode throughput benchmark: vmapped Viterbi + SCCC turbo.
+
+The reference decodes one packet per block thread (trellis_viterbi_X work);
+here a whole batch of packets decodes as one device program — the scan over
+trellis steps carries all B x S path metrics at once, so the sequential
+depth is K regardless of batch size and throughput scales with B.
+
+Timing: in-jit fori_loop with carry-fed inputs + scalar readback slope
+(block_until_ready does not block over the axon tunnel — see bench.py).
+
+Run from the repo root on the TPU: python benchmarks/trellis_bench.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def slope_time(make, args, ms=(1, 5), reps=3):
+    times = {}
+    for m in ms:
+        g = make(m)
+        float(np.asarray(g(*args)))          # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(np.asarray(g(*args)))
+        times[m] = (time.perf_counter() - t0) / reps
+    return (times[ms[1]] - times[ms[0]]) / (ms[1] - ms[0])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from grtpu.trellis import FSM, Interleaver, sccc_decoder, viterbi
+
+    FSM4 = FSM.from_convolutional(1, 2, [[0b101, 0b111]])
+    FSM_MSB = FSM(4, 4, 8, NS=[0, 1, 2, 3] * 4,
+                  OS=[0, 5, 3, 6, 4, 1, 7, 2, 7, 2, 4, 1, 3, 6, 0, 5])
+
+    # --- batched Viterbi ---------------------------------------------------
+    B, K = 4096, 512
+    r = np.random.RandomState(0)
+    m_vit = jnp.asarray(r.rand(B, K, FSM4.O).astype(np.float32))
+
+    def make_vit(m):
+        @jax.jit
+        def g(metrics):
+            def body(i, s):
+                dec = jax.vmap(lambda mm: viterbi(FSM4, mm + s * 1e-20))(
+                    metrics)
+                return jnp.sum(dec).astype(jnp.float32)
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+        return g
+
+    per = slope_time(make_vit, (m_vit,))
+    vit_msps = B * K / per / 1e6
+
+    # --- batched SCCC turbo (8 iterations) ----------------------------------
+    Bt, Kt, IT = 256, 512, 8
+    il = Interleaver.random(Kt, seed=666)
+    m_turbo = jnp.asarray(r.rand(Bt, Kt, FSM_MSB.O).astype(np.float32))
+
+    def make_turbo(m):
+        @jax.jit
+        def g(metrics):
+            def body(i, s):
+                dec = jax.vmap(lambda mm: sccc_decoder(
+                    FSM4, FSM_MSB, il, mm + s * 1e-20, IT))(metrics)
+                return jnp.sum(dec).astype(jnp.float32)
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+        return g
+
+    per_t = slope_time(make_turbo, (m_turbo,), ms=(1, 3))
+    turbo_msps = Bt * Kt / per_t / 1e6
+
+    print(json.dumps({
+        "metric": "viterbi_batch_decode",
+        "value": round(vit_msps, 1),
+        "unit": "Msymbols/s",
+        "batch": B, "K": K,
+    }))
+    print(json.dumps({
+        "metric": "sccc_turbo_decode_8it",
+        "value": round(turbo_msps, 2),
+        "unit": "Msymbols/s",
+        "batch": Bt, "K": Kt,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -367,3 +367,25 @@ class FmDet(Block):
 
     def apply(self, state, x):
         return state, dsp.quadrature_demod(x, self.gain)
+
+
+class Vco(Block):
+    """gr_vco_f: out = amplitude * cos(phase), phase integrating
+    sensitivity * input (gr_vco_f.cc / gr_fxpt_vco) — exact float phase
+    accumulation instead of the fixed-point table."""
+
+    in_ports = (Port(jnp.float32),)
+    out_ports = (Port(jnp.float32),)
+
+    def __init__(self, sampling_rate: float, sensitivity: float,
+                 amplitude: float = 1.0, name=None):
+        super().__init__(name)
+        self.k = float(sensitivity) / float(sampling_rate)
+        self.amplitude = float(amplitude)
+
+    def init_state(self):
+        return jnp.zeros((), jnp.float32)
+
+    def apply(self, state, x):
+        y, ph = dsp.vco(x, state, self.k)
+        return ph, self.amplitude * y

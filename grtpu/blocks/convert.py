@@ -173,3 +173,13 @@ class ComplexToInterleavedShort(Block):
     def apply(self, state, x):
         iq = jnp.stack([jnp.real(x), jnp.imag(x)], axis=1) * self.scale
         return state, jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16).reshape(-1)
+
+
+class Conjugate(Block):
+    """gr_conjugate_cc."""
+
+    in_ports = (Port(jnp.complex64),)
+    out_ports = (Port(jnp.complex64),)
+
+    def apply(self, state, x):
+        return state, jnp.conj(x)

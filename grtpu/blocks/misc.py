@@ -320,3 +320,160 @@ class HistoSink(Block):
             return None, None
         x = np.asarray(self.captured[0])
         return np.histogram(x, bins=self.nbins)
+
+
+class Threshold(Block):
+    """gr_threshold_ff (gr_threshold_ff.cc:47-58 basic form): hysteresis
+    comparator — output 1 once the input exceeds `hi`, 0 once it drops
+    below `lo`, holding the last state in between.  (The fork's extended
+    vector-threshold constructor serves its OFDM peak search; that role is
+    covered by PeakDetector/peak sync in grtpu.)
+
+    TPU-native: instead of a per-sample scan, the chunk's output is the
+    value at each position's most recent crossing event — one cummax over
+    `2*index + direction` (gather-free)."""
+
+    in_ports = (Port(jnp.float32),)
+    out_ports = (Port(jnp.float32),)
+
+    def __init__(self, lo: float, hi: float, initial_state: float = 0.0,
+                 name=None):
+        super().__init__(name)
+        self.lo, self.hi = float(lo), float(hi)
+        self.initial = float(initial_state)
+
+    def init_state(self):
+        return jnp.asarray(self.initial, jnp.float32)
+
+    def apply(self, state, x):
+        n = x.shape[0]
+        above = x > self.hi
+        below = x < self.lo
+        event = above | below
+        idx = jnp.arange(n, dtype=jnp.int32)
+        # encode (position, new state) as one monotone key; parity = state
+        key = jnp.where(event, 2 * idx + above.astype(jnp.int32), -1)
+        last = jax.lax.cummax(key)
+        out = jnp.where(last >= 0, (last % 2).astype(jnp.float32), state)
+        return out[-1], out
+
+
+class IqComp(Block):
+    """gr_iqcomp_cc (gr_iqcomp_cc.cc:37-61): adaptive IQ-imbalance
+    compensator — i' = i - q*wq, q' = q - i*wi with LMS weight updates
+    wi += mu*q'*i, wq += mu*i'*q.  Divergence: the reference's work()
+    adapts the weights but never writes its output buffer (the optr store
+    is commented out, gr_iqcomp_cc.cc:52); we emit the corrected samples,
+    the evident intent."""
+
+    in_ports = (Port(jnp.complex64),)
+    out_ports = (Port(jnp.complex64),)
+
+    def __init__(self, mu: float, name=None):
+        super().__init__(name)
+        self.mu = float(mu)
+
+    def init_state(self):
+        return jnp.zeros((2,), jnp.float32)   # (wi, wq)
+
+    def apply(self, state, x):
+        mu = self.mu
+
+        def step(w, s):
+            i, q = s
+            i_out = i - q * w[1]
+            q_out = q - i * w[0]
+            w = jnp.stack([w[0] + mu * q_out * i, w[1] + mu * i_out * q])
+            return w, i_out + 1j * q_out
+
+        w, y = jax.lax.scan(step, state, (x.real, x.imag))
+        return w, y.astype(jnp.complex64)
+
+
+class ErrorRate(Block):
+    """blks2.error_rate (grc_gnuradio/blks2/error_rate.py): sample two
+    byte streams and emit the running windowed bit (BER) or symbol (SER)
+    error rate as floats.
+
+    The reference routes samples through message queues to a Python
+    watcher thread maintaining a ring buffer; here the ring is the block's
+    carried state and the windowed sums are one cumsum per chunk."""
+
+    def __init__(self, type: str = "BER", win_size: int = 1000,
+                 bits_per_symbol: int = 2, name=None):
+        self.in_ports = (Port(jnp.uint8), Port(jnp.uint8))
+        self.out_ports = (Port(jnp.float32),)
+        super().__init__(name)
+        if type not in ("BER", "SER"):
+            raise ValueError("type must be 'BER' or 'SER'")
+        self.type = type
+        self.win = int(win_size)
+        self.bps = int(bits_per_symbol)
+        # popcount table for byte XOR (host constant)
+        self._pop = np.array([bin(i).count("1") for i in range(256)],
+                             np.float32)
+
+    def init_state(self):
+        return (jnp.zeros((self.win,), jnp.float32),
+                jnp.zeros((), jnp.float32))      # (err ring, nsamples seen)
+
+    def apply(self, state, a, b):
+        hist, seen = state
+        if self.type == "BER":
+            e = jnp.asarray(self._pop)[(a ^ b).astype(jnp.int32)]
+            denom_unit = float(self.bps)
+        else:
+            e = (a != b).astype(jnp.float32)
+            denom_unit = 1.0
+        n = e.shape[0]
+        full = jnp.concatenate([hist, e])
+        csum = jnp.cumsum(full)
+        # windowed error count ending at each new sample
+        hi = csum[self.win:]
+        lo = csum[:n]
+        errs = hi - lo
+        nsamps = jnp.minimum(seen + 1 + jnp.arange(n, dtype=jnp.float32),
+                             float(self.win))
+        out = errs / (nsamps * denom_unit)
+        return (full[-self.win:], jnp.minimum(seen + n, float(self.win))), out
+
+
+class Selector(Block):
+    """blks2.selector (grc_gnuradio/blks2/selector.py): route one of N
+    input streams to one of M outputs; unselected outputs carry zeros and
+    unselected inputs are swallowed (the reference wires them to null
+    sources/sinks).  Changing indexes mid-run follows the reference's
+    lock/reconnect/unlock discipline: call set_input_index/set_output_index
+    inside TopBlock.lock()/unlock() (the rebuild recompiles the graph)."""
+
+    def __init__(self, dtype, num_inputs: int, num_outputs: int,
+                 input_index: int = 0, output_index: int = 0, name=None):
+        self.in_ports = tuple(Port(dtype) for _ in range(num_inputs))
+        self.out_ports = tuple(Port(dtype) for _ in range(num_outputs))
+        super().__init__(name)
+        self.input_index = int(input_index)
+        self.output_index = int(output_index)
+
+    def set_input_index(self, i: int):
+        self.input_index = int(i)
+
+    def set_output_index(self, i: int):
+        self.output_index = int(i)
+
+    def apply(self, state, *xs):
+        sel = (xs[self.input_index] if 0 <= self.input_index < len(xs)
+               else jnp.zeros_like(xs[0]))
+        outs = tuple(sel if j == self.output_index else jnp.zeros_like(xs[0])
+                     for j in range(len(self.out_ports)))
+        return state, outs if len(outs) > 1 else outs[0]
+
+
+class Valve(Selector):
+    """blks2.valve: a 1-in/1-out selector; open=True blocks the stream
+    (selector.py:108-124 — an open valve routes the input to nowhere)."""
+
+    def __init__(self, dtype, open: bool = False, name=None):
+        super().__init__(dtype, 1, 1, -1 if open else 0, 0, name)
+
+    def set_open(self, open: bool):
+        self.set_input_index(-1 if open else 0)

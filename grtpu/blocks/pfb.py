@@ -190,3 +190,32 @@ def pfb_clock_sync_init(nfilts: int):
     return (jnp.asarray(nfilts / 2.0, jnp.float32),
             jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.float32))
+
+
+class PfbClockSync(Block):
+    """gr_pfb_clock_sync_ccf as a variable-rate block: (y_padded, n_valid)
+    mask-and-compact outputs around the pfb_clock_sync loop (compose in
+    models; see Fsk4Modem/GenericModem for the idiom)."""
+
+    variable_rate = True
+
+    def __init__(self, sps: float, loop_bw: float, taps, nfilts: int = 32,
+                 max_dev: float = 1.5, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        super().__init__(name)
+        self.sps, self.loop_bw = float(sps), float(loop_bw)
+        self.taps = np.asarray(taps)
+        self.nfilts, self.max_dev = int(nfilts), float(max_dev)
+
+    def init_state(self):
+        return pfb_clock_sync_init(self.nfilts)
+
+    def apply(self, state, x):
+        ys, n_valid, st = pfb_clock_sync(
+            x, state, self.sps, self.taps, self.nfilts, self.loop_bw,
+            self.max_dev)
+        # rebase the sample pointer for the next chunk
+        k, rate_f, base = st
+        st = (k, rate_f, base - x.shape[0])
+        return st, (ys, n_valid)

@@ -218,3 +218,30 @@ class StreamToStreams(Deinterleave):
 
 class StreamsToStream(Interleave):
     """gr_streams_to_stream == interleave."""
+
+
+class StreamsToVector(Block):
+    """gr_streams_to_vector: N parallel scalar streams -> one N-vector
+    stream (item i of the vector = stream i)."""
+
+    def __init__(self, dtype, nstreams: int, name=None):
+        self.in_ports = tuple(Port(dtype, 1) for _ in range(nstreams))
+        self.out_ports = (Port(dtype, nstreams),)
+        super().__init__(name)
+        self.n = nstreams
+
+    def apply(self, state, *xs):
+        return state, jnp.stack(xs, axis=1)
+
+
+class VectorToStreams(Block):
+    """gr_vector_to_streams: one N-vector stream -> N scalar streams."""
+
+    def __init__(self, dtype, nstreams: int, name=None):
+        self.in_ports = (Port(dtype, nstreams),)
+        self.out_ports = tuple(Port(dtype, 1) for _ in range(nstreams))
+        super().__init__(name)
+        self.n = nstreams
+
+    def apply(self, state, x):
+        return state, tuple(x[:, i] for i in range(self.n))

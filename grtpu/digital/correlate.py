@@ -14,6 +14,7 @@ whole time-block's sliding mismatch counts come from one +-1 correlation
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,3 +82,150 @@ class PnCorrelator(Block):
     def apply(self, state, x):
         g = x.reshape(-1, self.length)
         return state, (g * jnp.asarray(self.pn)[None, :]).sum(axis=1) / self.length
+
+
+# ---------------------------------------------------------------------------
+# gr_simple_framer / gr_simple_correlator
+# ---------------------------------------------------------------------------
+
+GRSF_SYNC = 0xACDDA4E2F28C20FC          # gr_simple_framer_sync.h:42
+GRSF_OVERHEAD = 10                      # 8 sync + 1 seqno + 1 tail pad
+_OVERSAMPLE = 8                         # gr_simple_correlator.h:43
+_AVG_PERIOD = 512
+_THRESHOLD = 3                          # max sync-bit errors
+_SYNC_BITS = np.array([(GRSF_SYNC >> (63 - i)) & 1 for i in range(64)],
+                      np.float32) * 2 - 1
+
+
+class SimpleFramer(Block):
+    """gr_simple_framer (gr_simple_framer.cc:41-95): per payload block emit
+    8 sync bytes + 1 running seqno + payload + one 0x55 pad byte."""
+
+    def __init__(self, payload_bytesize: int, name=None):
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = (Port(jnp.uint8),)
+        self.decim = int(payload_bytesize)
+        self.interp = int(payload_bytesize) + GRSF_OVERHEAD
+        super().__init__(name)
+        self.payload = int(payload_bytesize)
+        self.sync = np.array([(GRSF_SYNC >> (8 * (7 - i))) & 0xFF
+                              for i in range(8)], np.uint8)
+
+    def init_state(self):
+        return jnp.asarray(0, jnp.int32)   # seqno
+
+    def apply(self, state, x):
+        blocks = x.reshape(-1, self.payload)
+        nb = blocks.shape[0]
+        seq = ((state + jnp.arange(nb, dtype=jnp.int32)) % 256)
+        hdr = jnp.broadcast_to(jnp.asarray(self.sync), (nb, 8))
+        out = jnp.concatenate([
+            hdr,
+            seq[:, None].astype(jnp.uint8),
+            blocks,
+            jnp.full((nb, 1), 0x55, jnp.uint8),
+        ], axis=1)
+        return (state + nb) % 256, out.reshape(-1)
+
+
+def simple_correlator_burst(x: jnp.ndarray, payload_bytesize: int,
+                            max_packets: int = 8):
+    """Burst-mode gr_simple_correlator (gr_simple_correlator.cc:139-230):
+    8x-oversampled float stream -> framed packets.
+
+    The reference runs a per-sample LOOKING/UNDER_THRESHOLD/LOCKED state
+    machine with one 64-bit shift register per oversample phase.  Here the
+    whole chunk is processed at once: every position's sync hamming
+    distance comes from one 64-tap stride-8 correlation (shifted adds, no
+    gather), run centers + sampling phases are computed vectorially, and
+    only the accept/skip ordering is a tiny scan over candidate runs.
+    Divergence: the slicer threshold is the causal 512-sample rolling mean
+    (the reference slices with the PREVIOUS packet's halved average and
+    freezes it during LOCKED — same intent, DC tracking, but stale).
+
+    Returns (payloads, seqnos, valid): (max_packets, payload_bytesize)
+    uint8, (max_packets,) int32, (max_packets,) bool.
+    """
+    T = x.shape[0]
+    bblen = (payload_bytesize + 1) * 8          # seqno + payload, in bits
+    # causal rolling mean over the last AVG_PERIOD samples (zero-padded,
+    # matching the reference's zero-initialized avgbuf)
+    csum = jnp.cumsum(x)
+    lag = jnp.concatenate([jnp.zeros(_AVG_PERIOD, x.dtype),
+                           csum[:-_AVG_PERIOD]])[:T]
+    avg = (csum - lag) / _AVG_PERIOD
+    bits = jnp.where(x >= avg, 1.0, -1.0)
+
+    # hamming distance of the 64-bit stride-8 word ENDING at each sample
+    span = _OVERSAMPLE * 63
+    bpad = jnp.concatenate([jnp.zeros(span, bits.dtype), bits])
+    corr = jnp.zeros(T, jnp.float32)
+    for k in range(64):                          # 64 shifted adds, fused
+        corr = corr + _SYNC_BITS[k] * bpad[k * _OVERSAMPLE:
+                                           k * _OVERSAMPLE + T]
+    dist = (64.0 - corr) / 2.0
+    good = dist <= _THRESHOLD + 0.5
+    good = good & (jnp.arange(T) >= span)        # no phantom zero-pad syncs
+
+    prev = jnp.concatenate([jnp.zeros(1, bool), good[:-1]])
+    starts = good & ~prev                        # first below-threshold
+    ends = ~good & prev                          # first above (lock point)
+    idx = jnp.arange(T, dtype=jnp.int32)
+    last_start = jax.lax.cummax(jnp.where(starts, idx, -1))
+    cand = jnp.nonzero(ends, size=max_packets * 2, fill_value=T)[0]
+    s_j = jnp.where(cand < T, last_start[jnp.minimum(cand, T - 1)], 0)
+    e_j = cand
+
+    # center-of-goodness oversample phase (enter_locked,
+    # gr_simple_correlator.cc:104-118, incl. its +3 fudge)
+    delta = (e_j - s_j) % _OVERSAMPLE
+    center = (s_j + delta // 2 + 3) % _OVERSAMPLE
+    n0 = e_j + 1 + (center - (e_j + 1)) % _OVERSAMPLE
+    n_last = n0 + _OVERSAMPLE * (bblen - 1)
+    fits = (cand < T) & (n_last < T)
+
+    # greedy accept: skip candidates whose run started inside a previous
+    # accepted packet (the state machine is LOCKED there)
+    def accept(next_free, j):
+        ok = fits[j] & (s_j[j] >= next_free)
+        return jnp.where(ok, n_last[j] + 1, next_free), ok
+
+    _, ok = jax.lax.scan(accept, jnp.asarray(-1, jnp.int32),
+                         jnp.arange(s_j.shape[0]))
+    order = jnp.argsort(~ok)                     # accepted first, stable
+    take = order[:max_packets]
+    n0_t, ok_t = n0[take], ok[take]
+
+    # sample + slice the packet bits at the locked phase, frozen threshold
+    bit_idx = n0_t[:, None] + _OVERSAMPLE * jnp.arange(bblen)[None, :]
+    bit_idx = jnp.clip(bit_idx, 0, T - 1)
+    thresh = jnp.clip(avg[jnp.clip(e_j[take], 0, T - 1)], -1.0, 1.0)
+    pkt_bits = (x[bit_idx] >= thresh[:, None]).astype(jnp.int32)
+    weights = jnp.asarray(1 << np.arange(7, -1, -1), jnp.int32)
+    pkt_bytes = (pkt_bits.reshape(max_packets, bblen // 8, 8)
+                 * weights[None, None, :]).sum(-1)
+    seqnos = jnp.where(ok_t, pkt_bytes[:, 0], -1)
+    payloads = (pkt_bytes[:, 1:] * ok_t[:, None]).astype(jnp.uint8)
+    return payloads, seqnos, ok_t
+
+
+class SimpleCorrelator(Block):
+    """gr_simple_correlator as a variable-rate block: float samples in,
+    recovered payload bytes out as (y_padded, n_valid) per the
+    mask-and-compact convention (packets fully inside the chunk)."""
+
+    variable_rate = True
+
+    def __init__(self, payload_bytesize: int, max_packets: int = 8,
+                 name=None):
+        self.in_ports = (Port(jnp.float32),)
+        self.out_ports = (Port(jnp.uint8),)
+        super().__init__(name)
+        self.payload = int(payload_bytesize)
+        self.max_packets = int(max_packets)
+
+    def apply(self, state, x):
+        payloads, _seq, ok = simple_correlator_burst(
+            x, self.payload, self.max_packets)
+        return state, (payloads.reshape(-1),
+                       ok.sum().astype(jnp.int32) * self.payload)

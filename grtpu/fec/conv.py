@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from grtpu.runtime.block import Block, Port
+
 # CCSDS / NASA-DSN polynomials (octal 171, 133), 7 taps each.
 POLYA = 0o171
 POLYB = 0o133
@@ -60,8 +62,11 @@ def conv_encode_27(bits: np.ndarray | jnp.ndarray,
     """
     b = jnp.asarray(bits, jnp.uint8)
     n = b.shape[0]
-    hist = jnp.array([(state_bits >> i) & 1 for i in range(5, -1, -1)],
-                     jnp.uint8)
+    if isinstance(state_bits, int):
+        hist = jnp.array([(state_bits >> i) & 1 for i in range(5, -1, -1)],
+                         jnp.uint8)
+    else:   # traced (6,) bit vector, oldest first (Block state carry)
+        hist = jnp.asarray(state_bits, jnp.uint8)
     xb = jnp.concatenate([hist, b])
     idx = jnp.arange(n)[:, None] + jnp.arange(K)[None, :]
     win = xb[idx]  # (n, 7): win[t] = bits t-6 .. t (oldest first)
@@ -126,3 +131,43 @@ def conv_encode_27_packed(data: bytes) -> jnp.ndarray:
     bits = np.unpackbits(np.frombuffer(bytes(data), np.uint8))
     bits = np.concatenate([bits, np.zeros(6, np.uint8)])
     return conv_encode_27(bits)
+
+
+_BYTE_WEIGHTS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.int32)
+
+
+class EncodeCcsds27(Block):
+    """gr_encode_ccsds_27_bb: one packed byte in -> 16 unpacked encoded
+    bits out (MSB first), encoder register carried across chunks
+    (gr_encode_ccsds_27_bb.cc work)."""
+
+    in_ports = (Port(jnp.uint8),)
+    out_ports = (Port(jnp.uint8),)
+    interp = 16
+
+    def init_state(self):
+        return jnp.zeros((6,), jnp.uint8)   # last 6 input bits, oldest first
+
+    def apply(self, state, x):
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = ((x[:, None] >> shifts[None, :]) & 1).reshape(-1)
+        out = conv_encode_27(bits, state_bits=state)
+        full = jnp.concatenate([state, bits])
+        return full[-6:], out
+
+
+class DecodeCcsds27(Block):
+    """gr_decode_ccsds_27_fb: soft float symbols in (2 per bit, +-1),
+    packed bytes out.  Divergence: the reference decodes with a
+    continuous 32-bit-delay traceback; this decodes each chunk as one
+    trellis assumed flushed at its edges (use chunk sizes >> constraint
+    length — only boundary bits see a shortened traceback)."""
+
+    in_ports = (Port(jnp.float32),)
+    out_ports = (Port(jnp.uint8),)
+    decim = 16
+
+    def apply(self, state, x):
+        bits = viterbi_decode_27(x).reshape(-1, 8).astype(jnp.int32)
+        packed = (bits * jnp.asarray(_BYTE_WEIGHTS)[None, :]).sum(axis=1)
+        return state, packed.astype(jnp.uint8)

@@ -288,3 +288,42 @@ class WfmRcvFmdet(HierBlock):
             i, FmDet(quad_rate, -75e3, 75e3),
             FirFilter(audio_decimation, audio_taps, "fff"),
             FmDeemph(audio_rate), o)
+
+
+class FmDemod(HierBlock):
+    """blks2.fm_demod_cf (blks2impl/fm_demod.py:25-71): generalized FM
+    demodulation — quadrature demod at k = rate/(2*pi*deviation), optional
+    deemphasis, then an optfir-designed decimating audio LPF."""
+
+    def __init__(self, channel_rate: float, audio_decim: int,
+                 deviation: float, audio_pass: float, audio_stop: float,
+                 gain: float = 1.0, tau: float = 75e-6, name=None):
+        super().__init__(name)
+        from grtpu.utils import optfir
+        k = channel_rate / (2 * math.pi * deviation)
+        audio_taps = optfir.low_pass(gain, channel_rate, audio_pass,
+                                     audio_stop, 0.1, 60)
+        i = self.graph.add_input(Port(jnp.complex64))
+        o = self.graph.add_output(Port(jnp.float32))
+        quad = QuadratureDemod(k)
+        lpf = FirFilter(audio_decim, audio_taps, "fff")
+        if tau is not None and tau > 0:
+            self.graph.connect(i, quad, FmDeemph(channel_rate, tau), lpf, o)
+        else:
+            self.graph.connect(i, quad, lpf, o)
+
+
+class Demod20k0f3e(FmDemod):
+    """blks2.demod_20k0f3e_cf: NBFM, 20 kHz channels."""
+
+    def __init__(self, channel_rate: float, audio_decim: int, name=None):
+        super().__init__(channel_rate, audio_decim, 5000, 3000, 4500,
+                         name=name)
+
+
+class Demod200kf3e(FmDemod):
+    """blks2.demod_200kf3e_cf: broadcast WFM."""
+
+    def __init__(self, channel_rate: float, audio_decim: int, name=None):
+        super().__init__(channel_rate, audio_decim, 75000, 15000, 16000,
+                         name=name)

@@ -265,3 +265,37 @@ class TestReedSolomon:
         fixed, nerr = rs.decode(cw)
         assert nerr == 16
         np.testing.assert_array_equal(fixed[: rs.k], data)
+
+
+class TestCcsdsBlocks:
+    def test_encode_decode_block_roundtrip(self):
+        import jax.numpy as jnp
+        from grtpu.fec.conv import DecodeCcsds27, EncodeCcsds27
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 256, 64).astype(np.uint8)
+        enc = EncodeCcsds27()
+        st = enc.init_state()
+        st, bits1 = enc.apply(st, jnp.asarray(data[:32]))
+        st, bits2 = enc.apply(st, jnp.asarray(data[32:]))   # state carries
+        bits = np.concatenate([np.asarray(bits1), np.asarray(bits2)])
+        soft = (bits.astype(np.float32) * 2 - 1)
+        dec = DecodeCcsds27()
+        _, out = dec.apply(dec.init_state(), jnp.asarray(soft))
+        got = np.asarray(out)
+        # all but the last ~K bits (unterminated tail) decode exactly
+        assert (got[:-1] == data[:-1]).all()
+
+    def test_decode_soft_with_noise(self):
+        import jax.numpy as jnp
+        from grtpu.fec.conv import DecodeCcsds27, EncodeCcsds27
+        rng = np.random.default_rng(1)
+        data = rng.integers(0, 256, 128).astype(np.uint8)
+        enc = EncodeCcsds27()
+        _, bits = enc.apply(enc.init_state(), jnp.asarray(data))
+        soft = (np.asarray(bits).astype(np.float32) * 2 - 1
+                + 0.5 * rng.standard_normal(len(np.asarray(bits))))
+        dec = DecodeCcsds27()
+        _, out = dec.apply(dec.init_state(), jnp.asarray(
+            soft.astype(np.float32)))
+        errs = (np.asarray(out)[:-1] != data[:-1]).sum()
+        assert errs == 0

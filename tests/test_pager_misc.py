@@ -206,3 +206,116 @@ class TestStereoWfm:
         # left channel: 700 Hz dominates 2200 Hz, and vice versa
         assert band_power(L, 700) > 4 * band_power(L, 2200)
         assert band_power(R, 2200) > 4 * band_power(R, 700)
+
+
+class TestThresholdIqcomp:
+    def test_threshold_hysteresis(self):
+        from grtpu.blocks.misc import Threshold
+        blk = Threshold(lo=-0.5, hi=0.5)
+        x = np.array([0.0, 0.6, 0.2, -0.2, -0.6, 0.0, 0.7, -0.7, 0.3],
+                     np.float32)
+        st = blk.init_state()
+        st, y = blk.apply(st, jnp.asarray(x))
+        # classic hysteresis: 1 after >hi, 0 after <lo, hold in between
+        assert np.asarray(y).tolist() == [0, 1, 1, 1, 0, 0, 1, 0, 0]
+        # state carries across chunks
+        st2, y2 = blk.apply(st, jnp.asarray(np.array([0.1], np.float32)))
+        assert float(y2[0]) == 0.0
+
+    def test_threshold_chunked_equals_whole(self):
+        from grtpu.blocks.misc import Threshold
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(256).astype(np.float32)
+        blk = Threshold(-0.3, 0.3)
+        st = blk.init_state()
+        _, whole = blk.apply(st, jnp.asarray(x))
+        st = blk.init_state()
+        parts = []
+        for i in range(0, 256, 64):
+            st, y = blk.apply(st, jnp.asarray(x[i:i + 64]))
+            parts.append(np.asarray(y))
+        assert (np.concatenate(parts) == np.asarray(whole)).all()
+
+    def test_iqcomp_matches_reference_recurrence(self):
+        from grtpu.blocks.misc import IqComp
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal(128) + 1j * rng.standard_normal(128)
+             ).astype(np.complex64)
+        mu = 0.01
+        blk = IqComp(mu)
+        _, y = blk.apply(blk.init_state(), jnp.asarray(x))
+        wi = wq = 0.0
+        ref = np.zeros(128, np.complex64)
+        for i, s in enumerate(x):   # gr_iqcomp_cc.cc:52-58
+            i_out = s.real - s.imag * wq
+            q_out = s.imag - s.real * wi
+            wi += mu * q_out * s.real
+            wq += mu * i_out * s.imag
+            ref[i] = i_out + 1j * q_out
+        assert np.allclose(np.asarray(y), ref, atol=1e-5)
+
+    def test_iqcomp_decorrelates_iq(self):
+        """The LMS rule's fixed point decorrelates the output rails
+        (E[i_out*q] -> 0, E[q_out*i] -> 0) — the property it actually
+        enforces, not exact imbalance inversion."""
+        from grtpu.blocks.misc import IqComp
+        rng = np.random.default_rng(2)
+        clean = np.exp(1j * 2 * np.pi * rng.random(8192)).astype(np.complex64)
+        bad = (clean.real + 0.2 * clean.imag
+               + 1j * (clean.imag + 0.15 * clean.real)).astype(np.complex64)
+        blk = IqComp(0.01)
+        _, y = blk.apply(blk.init_state(), jnp.asarray(bad))
+        tail = np.asarray(y)[-1024:]
+        bt = bad[-1024:]
+        corr_before = abs(np.mean(bt.real * bt.imag))
+        # fixed point: output rails decorrelated from the OPPOSITE input rail
+        assert abs(np.mean(tail.real * bt.imag)) < corr_before * 0.1
+        assert abs(np.mean(tail.imag * bt.real)) < corr_before * 0.1
+
+
+class TestSimpleFramerCorrelator:
+    def _roundtrip(self, payload, npkts, noise, seed=0):
+        from grtpu.digital.correlate import (
+            SimpleFramer, simple_correlator_burst)
+        rng = np.random.default_rng(seed)
+        data = rng.integers(0, 256, (npkts, payload)).astype(np.uint8)
+        fr = SimpleFramer(payload)
+        _, framed = fr.apply(fr.init_state(), jnp.asarray(data.reshape(-1)))
+        framed = np.asarray(framed)
+        # bytes -> bits (MSB first) -> +-1 NRZ at 8 samples/bit
+        bits = np.unpackbits(framed)
+        wave = np.repeat(bits.astype(np.float32) * 2 - 1, 8)
+        wave = np.concatenate([np.zeros(600, np.float32), wave,
+                               np.zeros(600, np.float32)])
+        wave += noise * rng.standard_normal(len(wave)).astype(np.float32)
+        pk, seq, ok = simple_correlator_burst(
+            jnp.asarray(wave), payload, max_packets=npkts + 2)
+        got = np.asarray(pk)[np.asarray(ok)]
+        seqs = np.asarray(seq)[np.asarray(ok)]
+        return data, got, seqs
+
+    def test_clean_roundtrip(self):
+        data, got, seqs = self._roundtrip(16, 4, noise=0.0)
+        assert got.shape[0] == 4
+        assert (got == data).all()
+        assert seqs.tolist() == [0, 1, 2, 3]
+
+    def test_noisy_roundtrip(self):
+        data, got, seqs = self._roundtrip(16, 4, noise=0.25, seed=3)
+        assert got.shape[0] == 4
+        assert (got == data).all()
+
+    def test_correlator_block_mask_and_compact(self):
+        from grtpu.digital.correlate import SimpleCorrelator, SimpleFramer
+        rng = np.random.default_rng(4)
+        data = rng.integers(0, 256, (2, 8)).astype(np.uint8)
+        fr = SimpleFramer(8)
+        _, framed = fr.apply(fr.init_state(), jnp.asarray(data.reshape(-1)))
+        bits = np.unpackbits(np.asarray(framed))
+        wave = np.repeat(bits.astype(np.float32) * 2 - 1, 8)
+        wave = np.concatenate([np.zeros(600, np.float32), wave,
+                               np.zeros(200, np.float32)])
+        blk = SimpleCorrelator(8, max_packets=4)
+        _, (y, n) = blk.apply(blk.init_state(), jnp.asarray(wave))
+        assert int(n) == 16
+        assert (np.asarray(y)[:16].reshape(2, 8) == data).all()

@@ -361,3 +361,68 @@ class TestDebugTaps:
         mid = [np.concatenate([np.asarray(v) for v in parts])
                for k, parts in ex.edge_data.items() if "AddConst" in k.split("->")[0]]
         assert any(np.allclose(m, x + 1) for m in mid)
+
+
+class TestNewPlumbingBlocks:
+    def test_streams_to_vector_roundtrip(self):
+        import jax.numpy as jnp
+        from grtpu.blocks.stream import StreamsToVector, VectorToStreams
+        xs = [np.arange(8, dtype=np.float32) + 10 * i for i in range(3)]
+        s2v = StreamsToVector(jnp.float32, 3)
+        _, v = s2v.apply(s2v.init_state(), *[jnp.asarray(x) for x in xs])
+        assert np.asarray(v).shape == (8, 3)
+        v2s = VectorToStreams(jnp.float32, 3)
+        _, outs = v2s.apply(v2s.init_state(), v)
+        for i in range(3):
+            assert (np.asarray(outs[i]) == xs[i]).all()
+
+    def test_selector_and_valve(self):
+        import jax.numpy as jnp
+        from grtpu.blocks.misc import Selector, Valve
+        a = jnp.asarray(np.ones(4, np.float32))
+        b = jnp.asarray(np.full(4, 2.0, np.float32))
+        sel = Selector(jnp.float32, 2, 2, input_index=1, output_index=0)
+        _, (o0, o1) = sel.apply(sel.init_state(), a, b)
+        assert (np.asarray(o0) == 2).all() and (np.asarray(o1) == 0).all()
+        sel.set_input_index(0)
+        _, (o0, _) = sel.apply(sel.init_state(), a, b)
+        assert (np.asarray(o0) == 1).all()
+        v = Valve(jnp.float32, open=True)
+        _, y = v.apply(v.init_state(), a)
+        assert (np.asarray(y) == 0).all()
+        v.set_open(False)
+        _, y = v.apply(v.init_state(), a)
+        assert (np.asarray(y) == 1).all()
+
+    def test_error_rate_windowed(self):
+        import jax.numpy as jnp
+        from grtpu.blocks.misc import ErrorRate
+        er = ErrorRate("SER", win_size=8, bits_per_symbol=1)
+        a = np.zeros(16, np.uint8)
+        b = np.zeros(16, np.uint8)
+        b[4] = 1   # one symbol error
+        st = er.init_state()
+        st, y = er.apply(st, jnp.asarray(a), jnp.asarray(b))
+        y = np.asarray(y)
+        assert abs(y[4] - 1 / 5) < 1e-6       # 1 err over 5 samples seen
+        assert abs(y[7] - 1 / 8) < 1e-6
+        assert y[12] == 0.0                    # error left the window
+        # BER mode counts bit flips per byte
+        er2 = ErrorRate("BER", win_size=8, bits_per_symbol=8)
+        b2 = a.copy(); b2[0] = 0xFF
+        _, y2 = er2.apply(er2.init_state(), jnp.asarray(a), jnp.asarray(b2))
+        assert abs(np.asarray(y2)[0] - 1.0) < 1e-6   # 8/ (1*8)
+
+    def test_vco_integrates_frequency(self):
+        import jax.numpy as jnp
+        from grtpu.blocks.analog import Vco
+        fs, f0 = 8000.0, 440.0
+        vco = Vco(fs, sensitivity=2 * np.pi, amplitude=1.0)
+        ctrl = np.full(8000, f0, np.float32)
+        st = vco.init_state()
+        st, y = vco.apply(st, jnp.asarray(ctrl[:4000]))
+        st, y2 = vco.apply(st, jnp.asarray(ctrl[4000:]))
+        y = np.concatenate([np.asarray(y), np.asarray(y2)])
+        spec = np.abs(np.fft.rfft(y * np.hanning(8000)))
+        peak = np.argmax(spec) * fs / 8000
+        assert abs(peak - f0) < 2.0
