@@ -47,11 +47,19 @@ def calc_metric_hard(obs_symbols: jnp.ndarray, O: int) -> jnp.ndarray:
 
 
 def viterbi(fsm: FSM, metrics: jnp.ndarray, start_state: int = 0,
-            end_state: int = -1) -> jnp.ndarray:
+            end_state: int = -1,
+            parallel: Optional[bool] = None) -> jnp.ndarray:
     """Table-driven Viterbi (core_algorithms viterbi_algorithm).
 
     metrics: (T, O) per-step per-output-symbol metrics (higher better).
-    Returns (T,) decoded input symbols."""
+    Returns (T,) decoded input symbols.
+
+    For small S this dispatches to the log-depth formulation
+    (_viterbi_parallel): prefix max-plus products give every alpha at once
+    and the traceback becomes an associative composition of
+    best-predecessor maps (pointer doubling) — no O(T) sequential scan."""
+    if _use_parallel(fsm.S, parallel):
+        return _viterbi_parallel(fsm, metrics, start_state, end_state)
     S, I = fsm.S, fsm.I
     PS = jnp.asarray(fsm.PS)  # (S, deg)
     PI = jnp.asarray(fsm.PI)
@@ -90,12 +98,54 @@ def viterbi(fsm: FSM, metrics: jnp.ndarray, start_state: int = 0,
     return inputs_rev.astype(jnp.int32)
 
 
+def _viterbi_parallel(fsm: FSM, metrics: jnp.ndarray, start_state: int,
+                      end_state: int) -> jnp.ndarray:
+    """Log-depth Viterbi: max-plus prefix products for the path metrics +
+    pointer-doubling composition of best-predecessor maps for traceback.
+    Exact same optimum as the sequential scan (tie-breaking may differ)."""
+    S, I = fsm.S, fsm.I
+    T = metrics.shape[0]
+    NS = np.asarray(fsm.NS)
+    onehot = np.full((S, I, S), False)
+    onehot[np.arange(S)[:, None], np.arange(I)[None, :], NS] = True
+    oh = jnp.asarray(onehot)
+    vals = metrics[:, jnp.asarray(fsm.OS)]                 # (T, S, I)
+    masked = jnp.where(oh[None], vals[..., None], NEG)     # (T, S, I, S)
+    R = masked.max(axis=2)                                 # edge rewards
+    edge_in = masked.argmax(axis=2).astype(jnp.int32)      # (T, S, S)
+
+    def mm(a, b):
+        return jnp.maximum((a[..., :, :, None]
+                            + b[..., None, :, :]).max(-2), NEG)
+
+    P = jax.lax.associative_scan(mm, R)                    # prefix products
+    a0 = (jnp.zeros((S,), jnp.float32) if start_state < 0
+          else jnp.full((S,), NEG, jnp.float32).at[start_state].set(0.0))
+    av = (a0[None, :, None] + P[:-1]).max(1)               # (T-1, S)
+    alphas = jnp.concatenate([a0[None], av], axis=0)       # alpha BEFORE t
+    bp = (alphas[:, :, None] + R).argmax(1).astype(jnp.int32)  # (T, S)
+
+    alpha_T = (a0[:, None] + P[-1]).max(0)
+    s_end = (jnp.argmax(alpha_T).astype(jnp.int32)
+             if end_state < 0 else jnp.asarray(end_state, jnp.int32))
+
+    # C[t] = F_t o F_{t+1} o ... o F_{T-1}; s_t = C[t][s_end]
+    # (reverse=True passes (later, earlier) to the combine — compose as
+    # earlier[later] via the swapped take)
+    C = jax.lax.associative_scan(
+        lambda a, b: jnp.take_along_axis(b, a, axis=-1), bp, reverse=True)
+    s_all = C[:, s_end]                                    # s_0 .. s_{T-1}
+    s_next = jnp.concatenate([s_all[1:], s_end[None]])
+    return edge_in[jnp.arange(T), s_all, s_next].astype(jnp.int32)
+
+
 def viterbi_combined(fsm: FSM, observations: jnp.ndarray,
                      constellation: jnp.ndarray, dim: int = 1,
-                     start_state: int = 0, end_state: int = -1) -> jnp.ndarray:
+                     start_state: int = 0, end_state: int = -1,
+                     parallel: Optional[bool] = None) -> jnp.ndarray:
     """viterbi_combined_XX: metric calculation fused with decoding."""
     m = calc_metric_euclidean(observations, constellation, dim)
-    return viterbi(fsm, m, start_state, end_state)
+    return viterbi(fsm, m, start_state, end_state, parallel=parallel)
 
 
 def siso(fsm: FSM, metrics: jnp.ndarray, start_state: int = 0,
@@ -175,6 +225,68 @@ def _reduce(x: jnp.ndarray, axis: int, sum_product: bool) -> jnp.ndarray:
     return jnp.min(x, axis=axis)
 
 
+# ---------------------------------------------------------------------------
+# Log-depth trellis recursions (tropical-semiring associative scans)
+# ---------------------------------------------------------------------------
+#
+# The forward/backward recursions are matrix-vector products in the
+# (min, +) semiring (or the log semiring for sum-product): alpha_{t+1} =
+# alpha_t (x) E_t with E_t[s, s'] = cost of the step-t edge s -> s'.
+# Semiring matrix products are associative, so the whole K-step recursion
+# runs in ceil(log2 K) parallel rounds via lax.associative_scan — the same
+# trick grtpu.ops.dsp.linear_recurrence plays for IIR, lifted to S states.
+# Work is O(K S^3) instead of O(K S deg), so it is enabled automatically
+# only for small state counts (_PARALLEL_MAX_S); the O(K)-depth scans above
+# remain the fallback (and the large-S path, e.g. the k=7 CCSDS code).
+
+_PARALLEL_MAX_S = 16
+
+
+def _use_parallel(S: int, parallel: Optional[bool]) -> bool:
+    return S <= _PARALLEL_MAX_S if parallel is None else bool(parallel)
+
+
+def _semiring_mm(A: jnp.ndarray, B: jnp.ndarray,
+                 sum_product: bool) -> jnp.ndarray:
+    """(..., S, S) (x) (..., S, S) in the (min,+) or log semiring."""
+    X = A[..., :, :, None] + B[..., None, :, :]
+    return jnp.minimum(_reduce(X, -2, sum_product), INF)
+
+
+def _edge_costs(fsm: FSM, priori: jnp.ndarray,
+                prioro: jnp.ndarray) -> jnp.ndarray:
+    """Per-step edge-cost matrices E[t, s, s'] = min over parallel edges
+    (s --i--> s') of priori[t, i] + prioro[t, OS[s, i]]  (INF if no edge)."""
+    S, I = fsm.S, fsm.I
+    NS = np.asarray(fsm.NS)
+    onehot = np.full((S, I, S), False)
+    onehot[np.arange(S)[:, None], np.arange(I)[None, :], NS] = True
+    vals = priori[:, None, :] + prioro[:, jnp.asarray(fsm.OS)]   # (K, S, I)
+    masked = jnp.where(jnp.asarray(onehot)[None], vals[..., None], INF)
+    return masked.min(axis=2)                                    # (K, S, S)
+
+
+def _alphas_parallel(E: jnp.ndarray, a0: jnp.ndarray,
+                     sum_product: bool) -> jnp.ndarray:
+    """alpha BEFORE each step: alphas[t] = a0 (x) E_0 (x) ... (x) E_{t-1}."""
+    P = jax.lax.associative_scan(
+        lambda a, b: _semiring_mm(a, b, sum_product), E)         # inclusive
+    # alphas[t] for t >= 1 = a0 (x) P[t-1]; alphas[0] = a0
+    av = _reduce(a0[None, :, None] + P[:-1], 1, sum_product)     # (K-1, S)
+    return jnp.concatenate([a0[None], av], axis=0)
+
+
+def _betas_parallel(E: jnp.ndarray, bK: jnp.ndarray,
+                    sum_product: bool) -> jnp.ndarray:
+    """beta AFTER each step: betas[t] = E_{t+1} (x) ... (x) E_{K-1} (x) bK."""
+    # NB: with reverse=True the combine receives (later, earlier) — swap to
+    # keep left-to-right products E_t (x) ... (x) E_{K-1}
+    R = jax.lax.associative_scan(
+        lambda a, b: _semiring_mm(b, a, sum_product), E, reverse=True)
+    bv = _reduce(R[1:] + bK[None, None, :], 2, sum_product)      # (K-1, S)
+    return jnp.concatenate([bv, bK[None]], axis=0)
+
+
 def calc_metric_cost(obs: jnp.ndarray, table: jnp.ndarray, dim: int = 1,
                      metric_type: str = "euclidean") -> jnp.ndarray:
     """calc_metric (calc_metric.cc:30-70): (T*dim,) observations vs O
@@ -201,26 +313,27 @@ def calc_metric_cost(obs: jnp.ndarray, table: jnp.ndarray, dim: int = 1,
 def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
               start_state: int = 0, end_state: int = -1,
               posti: bool = True, posto: bool = False,
-              sum_product: bool = False):
+              sum_product: bool = False,
+              parallel: Optional[bool] = None):
     """siso_algorithm (core_algorithms.cc:418-563) in the cost domain.
 
     Args:
       priori: (K, I) input-symbol prior costs.
       prioro: (K, O) output-symbol prior costs (channel metrics).
       posti/posto: which posteriors to return (POSTI/POSTO flags).
+      parallel: force/forbid the log-depth recursion (default: auto,
+        on for S <= _PARALLEL_MAX_S).
 
     Returns (K, I), (K, O), or ((K, I), (K, O)) per the flags; each row is
     normalized so its min is 0 (the reference's per-step norm subtraction).
-    TPU-native: forward/backward are lax.scans over the S-vector of state
-    costs; the combine steps are one batched (K, S, I) tensor reduction.
+    TPU-native: forward/backward are log-depth tropical-semiring
+    associative scans for small S (see _alphas_parallel) or O(K) lax.scans
+    over the S-vector of state costs otherwise; the combine steps are one
+    batched (K, S, I) tensor reduction either way.
     """
     S, I = fsm.S, fsm.I
     NS = jnp.asarray(fsm.NS)                    # (S, I)
     OS = jnp.asarray(fsm.OS)
-    PS = jnp.maximum(jnp.asarray(fsm.PS), 0)    # (S, deg)
-    PI = jnp.maximum(jnp.asarray(fsm.PI), 0)
-    pvalid = jnp.asarray(fsm.PS >= 0)
-    edge_out_pred = OS[PS, PI]                  # (S, deg)
     priori = jnp.asarray(priori, jnp.float32)
     prioro = jnp.asarray(prioro, jnp.float32)
 
@@ -229,21 +342,33 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
     bK = (jnp.zeros((S,), jnp.float32) if end_state < 0
           else jnp.full((S,), INF, jnp.float32).at[end_state].set(0.0))
 
-    def fwd(a, inp):
-        pri, pro = inp
-        cand = jnp.where(pvalid, a[PS] + pri[PI] + pro[edge_out_pred], INF)
-        a_new = _reduce(cand, 1, sum_product)
-        return a_new - a_new.min(), a           # emit alpha BEFORE step t
+    if _use_parallel(S, parallel):
+        E = _edge_costs(fsm, priori, prioro)
+        alphas = _alphas_parallel(E, a0, sum_product)        # (K, S)
+        betas = _betas_parallel(E, bK, sum_product)          # (K, S)
+    else:
+        PS = jnp.maximum(jnp.asarray(fsm.PS), 0)    # (S, deg)
+        PI = jnp.maximum(jnp.asarray(fsm.PI), 0)
+        pvalid = jnp.asarray(fsm.PS >= 0)
+        edge_out_pred = OS[PS, PI]                  # (S, deg)
 
-    _, alphas = jax.lax.scan(fwd, a0, (priori, prioro))   # (K, S)
+        def fwd(a, inp):
+            pri, pro = inp
+            cand = jnp.where(pvalid,
+                             a[PS] + pri[PI] + pro[edge_out_pred], INF)
+            a_new = _reduce(cand, 1, sum_product)
+            return a_new - a_new.min(), a           # emit alpha BEFORE t
 
-    def bwd(b, inp):
-        pri, pro = inp
-        cand = b[NS] + pri[None, :] + pro[OS]   # (S, I)
-        b_new = _reduce(cand, 1, sum_product)
-        return b_new - b_new.min(), b           # emit beta_{t+1}
+        _, alphas = jax.lax.scan(fwd, a0, (priori, prioro))   # (K, S)
 
-    _, betas = jax.lax.scan(bwd, bK, (priori, prioro), reverse=True)  # (K, S)
+        def bwd(b, inp):
+            pri, pro = inp
+            cand = b[NS] + pri[None, :] + pro[OS]   # (S, I)
+            b_new = _reduce(cand, 1, sum_product)
+            return b_new - b_new.min(), b           # emit beta_{t+1}
+
+        _, betas = jax.lax.scan(bwd, bK, (priori, prioro),
+                                reverse=True)       # (K, S)
 
     out = []
     if posti:
@@ -268,7 +393,8 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
 def sccc_decoder(fsm_o: FSM, fsm_i: FSM, interleaver, iprioro: jnp.ndarray,
                  iterations: int = 10, sto0: int = 0, stok: int = -1,
                  sti0: int = 0, stik: int = -1,
-                 sum_product: bool = False) -> jnp.ndarray:
+                 sum_product: bool = False,
+                 parallel: Optional[bool] = None) -> jnp.ndarray:
     """Serially-concatenated-code turbo decoder
     (core_algorithms.cc sccc_decoder :973-1067).
 
@@ -286,16 +412,18 @@ def sccc_decoder(fsm_o: FSM, fsm_i: FSM, interleaver, iprioro: jnp.ndarray,
     oposti = None
     for rep in range(iterations):
         iposti = siso_cost(fsm_i, ipriori, iprioro, sti0, stik,
-                           posti=True, sum_product=sum_product)
+                           posti=True, sum_product=sum_product,
+                           parallel=parallel)
         oprioro = iposti[DEINTER]          # deinterleave inner -> outer
         if rep < iterations - 1:
             oposto = siso_cost(fsm_o, opriori, oprioro, sto0, stok,
                                posti=False, posto=True,
-                               sum_product=sum_product)
+                               sum_product=sum_product, parallel=parallel)
             ipriori = oposto[INTER]        # re-interleave outer -> inner
         else:
             oposti = siso_cost(fsm_o, opriori, oprioro, sto0, stok,
-                               posti=True, sum_product=sum_product)
+                               posti=True, sum_product=sum_product,
+                               parallel=parallel)
     return jnp.argmin(oposti, axis=1).astype(jnp.int32)
 
 
@@ -317,7 +445,8 @@ def sccc_decoder_combined(fsm_o: FSM, fsm_i: FSM, interleaver,
 def pccc_decoder(fsm1: FSM, fsm2: FSM, interleaver, cprioro: jnp.ndarray,
                  iterations: int = 10, st10: int = 0, st1k: int = -1,
                  st20: int = 0, st2k: int = -1,
-                 sum_product: bool = False) -> jnp.ndarray:
+                 sum_product: bool = False,
+                 parallel: Optional[bool] = None) -> jnp.ndarray:
     """Parallel-concatenated (turbo) decoder
     (core_algorithms.cc pccc_decoder :1105-1207).
 
@@ -342,10 +471,12 @@ def pccc_decoder(fsm1: FSM, fsm2: FSM, interleaver, cprioro: jnp.ndarray,
     posti1 = None
     for _ in range(iterations):
         posti1 = siso_cost(fsm1, priori1, prioro1, st10, st1k,
-                           posti=True, sum_product=sum_product)
+                           posti=True, sum_product=sum_product,
+                           parallel=parallel)
         priori2 = posti1[INTER]
         posti2 = siso_cost(fsm2, priori2, prioro2, st20, st2k,
-                           posti=True, sum_product=sum_product)
+                           posti=True, sum_product=sum_product,
+                           parallel=parallel)
         priori1 = posti2[DEINTER]
     # Hard decisions combine the final extrinsic pair (cc:1191-1204).
     total = _reduce(jnp.stack([priori1, posti1], 0), 0, sum_product)

@@ -212,13 +212,15 @@ class ViterbiDecoder(_BlockwiseDecoder):
     with fixed S0/SK (trellis_viterbi_X.cc.t:60-61)."""
 
     def __init__(self, fsm: FSM, K: int, S0: int = 0, SK: int = -1,
-                 name=None):
+                 parallel=None, name=None):
         super().__init__(K, fsm.O, False, name)
         self.fsm, self.S0, self.SK = fsm, int(S0), int(SK)
+        self.parallel = parallel
 
     def _decode_block(self, blk):
         m = -blk.reshape(self.K, self.fsm.O)   # costs -> rewards
-        return alg.viterbi(self.fsm, m, self.S0, self.SK)
+        return alg.viterbi(self.fsm, m, self.S0, self.SK,
+                           parallel=self.parallel)
 
 
 class ViterbiCombined(_BlockwiseDecoder):
@@ -226,16 +228,18 @@ class ViterbiCombined(_BlockwiseDecoder):
 
     def __init__(self, fsm: FSM, K: int, S0: int, SK: int, D: int,
                  table, metric_type: str = "euclidean",
-                 complex_in: bool = True, name=None):
+                 complex_in: bool = True, parallel=None, name=None):
         super().__init__(K, D, complex_in, name)
         self.fsm, self.S0, self.SK, self.D = fsm, int(S0), int(SK), int(D)
         self.table = np.asarray(table)
         self.metric_type = metric_type
+        self.parallel = parallel
 
     def _decode_block(self, blk):
         m = alg.calc_metric_cost(blk, jnp.asarray(self.table), self.D,
                                  self.metric_type)
-        return alg.viterbi(self.fsm, -m, self.S0, self.SK)
+        return alg.viterbi(self.fsm, -m, self.S0, self.SK,
+                           parallel=self.parallel)
 
 
 class SisoF(Block):
@@ -247,12 +251,14 @@ class SisoF(Block):
     out_ports = (port_f(),)
 
     def __init__(self, fsm: FSM, K: int, S0: int = 0, SK: int = -1,
-                 posti: bool = True, sum_product: bool = False, name=None):
+                 posti: bool = True, sum_product: bool = False,
+                 parallel=None, name=None):
         super().__init__(name)
         self.fsm, self.K = fsm, int(K)
         self.S0, self.SK = int(S0), int(SK)
         self.posti = bool(posti)
         self.sum_product = bool(sum_product)
+        self.parallel = parallel
         self.decim = self.K * fsm.O
         self.interp = self.K * (fsm.I if posti else fsm.O)
 
@@ -261,7 +267,8 @@ class SisoF(Block):
         priori = jnp.zeros((self.K, self.fsm.I), jnp.float32)
         return alg.siso_cost(self.fsm, priori, prioro, self.S0, self.SK,
                              posti=self.posti, posto=not self.posti,
-                             sum_product=self.sum_product).reshape(-1)
+                             sum_product=self.sum_product,
+                             parallel=self.parallel).reshape(-1)
 
     def apply(self, state, x):
         blocks = x.reshape(-1, self.decim)
@@ -274,8 +281,8 @@ class SisoCombinedF(SisoF):
     def __init__(self, fsm: FSM, K: int, S0: int, SK: int, D: int, table,
                  metric_type: str = "euclidean", posti: bool = True,
                  sum_product: bool = False, complex_in: bool = False,
-                 name=None):
-        super().__init__(fsm, K, S0, SK, posti, sum_product, name)
+                 parallel=None, name=None):
+        super().__init__(fsm, K, S0, SK, posti, sum_product, parallel, name)
         self.in_ports = (port_c() if complex_in else port_f(),)
         self.D = int(D)
         self.table = np.asarray(table)
@@ -288,7 +295,8 @@ class SisoCombinedF(SisoF):
         priori = jnp.zeros((self.K, self.fsm.I), jnp.float32)
         return alg.siso_cost(self.fsm, priori, prioro, self.S0, self.SK,
                              posti=self.posti, posto=not self.posti,
-                             sum_product=self.sum_product).reshape(-1)
+                             sum_product=self.sum_product,
+                             parallel=self.parallel).reshape(-1)
 
 
 class ScccDecoder(_BlockwiseDecoder):
@@ -297,19 +305,22 @@ class ScccDecoder(_BlockwiseDecoder):
 
     def __init__(self, fsm_o: FSM, sto0: int, stok: int, fsm_i: FSM,
                  sti0: int, stik: int, interleaver: Interleaver, K: int,
-                 iterations: int = 10, sum_product: bool = False, name=None):
+                 iterations: int = 10, sum_product: bool = False,
+                 parallel=None, name=None):
         super().__init__(K, fsm_i.O, False, name)
         self.fsm_o, self.fsm_i, self.inter = fsm_o, fsm_i, interleaver
         self.sto0, self.stok = int(sto0), int(stok)
         self.sti0, self.stik = int(sti0), int(stik)
         self.iterations = int(iterations)
         self.sum_product = bool(sum_product)
+        self.parallel = parallel
 
     def _decode_block(self, blk):
         m = blk.reshape(self.K, self.fsm_i.O)
         return alg.sccc_decoder(self.fsm_o, self.fsm_i, self.inter, m,
                                 self.iterations, self.sto0, self.stok,
-                                self.sti0, self.stik, self.sum_product)
+                                self.sti0, self.stik, self.sum_product,
+                                parallel=self.parallel)
 
 
 class ScccDecoderCombined(_BlockwiseDecoder):
@@ -320,7 +331,7 @@ class ScccDecoderCombined(_BlockwiseDecoder):
                  D: int, table, metric_type: str = "euclidean",
                  scaling: float = 1.0, iterations: int = 10,
                  sum_product: bool = False, complex_in: bool = True,
-                 name=None):
+                 parallel=None, name=None):
         super().__init__(K, D, complex_in, name)
         self.fsm_o, self.fsm_i, self.inter = fsm_o, fsm_i, interleaver
         self.sto0, self.stok = int(sto0), int(stok)
@@ -329,13 +340,15 @@ class ScccDecoderCombined(_BlockwiseDecoder):
         self.metric_type, self.scaling = metric_type, float(scaling)
         self.iterations = int(iterations)
         self.sum_product = bool(sum_product)
+        self.parallel = parallel
 
     def _decode_block(self, blk):
         m = alg.calc_metric_cost(blk, jnp.asarray(self.table), self.D,
                                  self.metric_type) * self.scaling
         return alg.sccc_decoder(self.fsm_o, self.fsm_i, self.inter, m,
                                 self.iterations, self.sto0, self.stok,
-                                self.sti0, self.stik, self.sum_product)
+                                self.sti0, self.stik, self.sum_product,
+                                parallel=self.parallel)
 
 
 class PcccDecoder(_BlockwiseDecoder):
@@ -344,19 +357,22 @@ class PcccDecoder(_BlockwiseDecoder):
 
     def __init__(self, fsm1: FSM, st10: int, st1k: int, fsm2: FSM,
                  st20: int, st2k: int, interleaver: Interleaver, K: int,
-                 iterations: int = 10, sum_product: bool = False, name=None):
+                 iterations: int = 10, sum_product: bool = False,
+                 parallel=None, name=None):
         super().__init__(K, fsm1.O * fsm2.O, False, name)
         self.fsm1, self.fsm2, self.inter = fsm1, fsm2, interleaver
         self.st10, self.st1k = int(st10), int(st1k)
         self.st20, self.st2k = int(st20), int(st2k)
         self.iterations = int(iterations)
         self.sum_product = bool(sum_product)
+        self.parallel = parallel
 
     def _decode_block(self, blk):
         m = blk.reshape(self.K, self.fsm1.O * self.fsm2.O)
         return alg.pccc_decoder(self.fsm1, self.fsm2, self.inter, m,
                                 self.iterations, self.st10, self.st1k,
-                                self.st20, self.st2k, self.sum_product)
+                                self.st20, self.st2k, self.sum_product,
+                                parallel=self.parallel)
 
 
 class PcccDecoderCombined(_BlockwiseDecoder):
@@ -367,7 +383,7 @@ class PcccDecoderCombined(_BlockwiseDecoder):
                  D: int, table, metric_type: str = "euclidean",
                  scaling: float = 1.0, iterations: int = 10,
                  sum_product: bool = False, complex_in: bool = True,
-                 name=None):
+                 parallel=None, name=None):
         super().__init__(K, D, complex_in, name)
         self.fsm1, self.fsm2, self.inter = fsm1, fsm2, interleaver
         self.st10, self.st1k = int(st10), int(st1k)
@@ -376,10 +392,12 @@ class PcccDecoderCombined(_BlockwiseDecoder):
         self.metric_type, self.scaling = metric_type, float(scaling)
         self.iterations = int(iterations)
         self.sum_product = bool(sum_product)
+        self.parallel = parallel
 
     def _decode_block(self, blk):
         m = alg.calc_metric_cost(blk, jnp.asarray(self.table), self.D,
                                  self.metric_type) * self.scaling
         return alg.pccc_decoder(self.fsm1, self.fsm2, self.inter, m,
                                 self.iterations, self.st10, self.st1k,
-                                self.st20, self.st2k, self.sum_product)
+                                self.st20, self.st2k, self.sum_product,
+                                parallel=self.parallel)

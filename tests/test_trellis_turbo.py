@@ -6,6 +6,7 @@ encode -> map to a constellation -> AWGN -> metrics -> iterative decode,
 asserting exact recovery at high SNR and coding gain at moderate SNR.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -245,6 +246,66 @@ class TestSccc:
                           iterations=4)
         out = run_block(dec, m.reshape(-1))
         assert (out == bits).all()
+
+
+class TestParallelTrellis:
+    """The log-depth tropical-semiring formulation must match the O(K)
+    sequential scans (algorithms._viterbi_parallel / _alphas_parallel)."""
+
+    ISI = FSM.from_isi(4, 3)   # S = 16, the auto-enable boundary
+
+    @pytest.mark.parametrize("fsm", [FSM4, FSM_INNER, ISI],
+                             ids=["fsm4", "msb", "isi16"])
+    def test_viterbi_parallel_equals_sequential(self, fsm):
+        from grtpu.trellis.algorithms import viterbi as vit
+        rng = np.random.default_rng(7)
+        for T in (5, 64, 257):
+            m = rng.standard_normal((T, fsm.O)).astype(np.float32)
+            for ss, es in [(0, -1), (0, 0), (-1, -1)]:
+                a = np.asarray(vit(fsm, jnp.asarray(m), ss, es,
+                                   parallel=False))
+                b = np.asarray(vit(fsm, jnp.asarray(m), ss, es,
+                                   parallel=True))
+                assert (a == b).all(), (T, ss, es)
+
+    @pytest.mark.parametrize("fsm", [FSM4, FSM_INNER, ISI],
+                             ids=["fsm4", "msb", "isi16"])
+    @pytest.mark.parametrize("sum_product", [False, True])
+    def test_siso_parallel_equals_sequential(self, fsm, sum_product):
+        rng = np.random.default_rng(8)
+        for T in (5, 64):
+            pri = np.abs(rng.standard_normal((T, fsm.I))).astype(np.float32)
+            pro = np.abs(rng.standard_normal((T, fsm.O))).astype(np.float32)
+            for ss, es in [(0, -1), (-1, -1), (0, 0)]:
+                s1 = siso_cost(fsm, pri, pro, ss, es, posti=True, posto=True,
+                               sum_product=sum_product, parallel=False)
+                s2 = siso_cost(fsm, pri, pro, ss, es, posti=True, posto=True,
+                               sum_product=sum_product, parallel=True)
+                for x, y in zip(s1, s2):
+                    x, y = np.asarray(x), np.asarray(y)
+                    finite = (x < 1e8) & (y < 1e8)
+                    assert np.allclose(x[finite], y[finite], atol=2e-3)
+
+    def test_turbo_decoders_accept_parallel_flag(self):
+        rng = np.random.default_rng(9)
+        K = 64
+        il = Interleaver.random(K, seed=1)
+        bits = rng.integers(0, 2, K)
+        mid = FSM4.encode(bits)
+        syms = FSM_INNER.encode(np.asarray(mid)[il.INTER])
+        m = np.full((K, FSM_INNER.O), 10.0, np.float32)
+        m[np.arange(K), syms] = 0.0
+        for par in (False, True):
+            dec = np.asarray(sccc_decoder(FSM4, FSM_INNER, il, m, 4,
+                                          parallel=par))
+            assert (dec == bits).all()
+
+    def test_large_state_fsm_stays_sequential(self):
+        """CCSDS k=7 (S=64) must auto-pick the sequential path (no S^3
+        blowup) and still decode."""
+        from grtpu.trellis.algorithms import _use_parallel
+        assert not _use_parallel(64, None)
+        assert _use_parallel(16, None)
 
 
 class TestTurboEqualization:
