@@ -3,11 +3,12 @@
 The reference decodes one packet per block thread (trellis_viterbi_X work);
 here a whole batch of packets decodes as one device program.  Two regimes:
 
-* bulk (large B): the O(K)-depth scan carrying all B x S path metrics —
-  the VPU is saturated by the batch, sequential depth is amortized.
-* latency (small B): the log-depth tropical associative-scan formulation
-  (algorithms._viterbi_parallel / _alphas_parallel) — measured ~2.6x
-  faster at B=16 on 1x v5e, crossing over to the scan around B~64.
+* bulk (large B): the O(K)-depth scan carrying all B x S path metrics
+  with the one-hot traceback (dynamic gathers in a scan are ~270x slower
+  than one-hot selects on TPU) — ~1.3 Gsym/s at B=4096.
+* latency (B=1): the log-depth tropical associative-scan formulation
+  (algorithms._viterbi_parallel) — 23x faster than the scan for a single
+  packet; the scan wins once a handful of packets batch together.
 
 Timing: in-jit fori_loop with carry-fed inputs + scalar readback slope
 (block_until_ready does not block over the axon tunnel — see bench.py).
@@ -65,14 +66,14 @@ def main():
     per = slope_time(lambda m: make_vit(m, False, m_vit), (m_vit,))
     vit_msps = B * K / per / 1e6
 
-    Bs = 16
-    m_small = m_vit[:Bs]
-    per_s = slope_time(lambda m: make_vit(m, True, m_small), (m_small,),
-                       ms=(1, 9))
-    vit_lat_msps = Bs * K / per_s / 1e6
+    m_one = m_vit[:1]
+    # single-packet decodes are ~100us — amortize far past dispatch noise
+    per_s = slope_time(lambda m: make_vit(m, True, m_one), (m_one,),
+                       ms=(1, 257))
+    vit_lat_us = per_s * 1e6
 
     # --- batched SCCC turbo (8 iterations) ----------------------------------
-    Bt, Kt, IT = 256, 512, 8
+    Bt, Kt, IT = 1024, 512, 8
     il = Interleaver.random(Kt, seed=666)
     m_turbo = jnp.asarray(r.rand(Bt, Kt, FSM_MSB.O).astype(np.float32))
 
@@ -97,10 +98,10 @@ def main():
         "batch": B, "K": K,
     }))
     print(json.dumps({
-        "metric": "viterbi_lowlat_decode_parallel_scan",
-        "value": round(vit_lat_msps, 2),
-        "unit": "Msymbols/s",
-        "batch": Bs, "K": K,
+        "metric": "viterbi_single_packet_latency_parallel_scan",
+        "value": round(vit_lat_us, 1),
+        "unit": "us/packet",
+        "batch": 1, "K": K,
     }))
     print(json.dumps({
         "metric": "sccc_turbo_decode_8it",

@@ -54,10 +54,13 @@ def viterbi(fsm: FSM, metrics: jnp.ndarray, start_state: int = 0,
     metrics: (T, O) per-step per-output-symbol metrics (higher better).
     Returns (T,) decoded input symbols.
 
-    For small S this dispatches to the log-depth formulation
-    (_viterbi_parallel): prefix max-plus products give every alpha at once
-    and the traceback becomes an associative composition of
-    best-predecessor maps (pointer doubling) — no O(T) sequential scan."""
+    parallel=True opts into the log-depth formulation (_viterbi_parallel):
+    prefix max-plus products give every alpha at once and the traceback
+    becomes an associative composition of best-predecessor maps (pointer
+    doubling) — no O(T) sequential scan.  Worth it only for single-packet
+    latency (23x at B=1 on v5e); the default sequential scan with the
+    one-hot traceback wins once packets are batched (~1.3 Gsym/s at
+    B=4096)."""
     if _use_parallel(fsm.S, parallel):
         return _viterbi_parallel(fsm, metrics, start_state, end_state)
     S, I = fsm.S, fsm.I
@@ -79,23 +82,36 @@ def viterbi(fsm: FSM, metrics: jnp.ndarray, start_state: int = 0,
     def step(pm, m_t):
         cand = jnp.where(valid, pm[PSc] + m_t[edge_out], NEG)  # (S, deg)
         best = jnp.argmax(cand, axis=1)
-        pm_new = jnp.take_along_axis(cand, best[:, None], 1)[:, 0]
+        pm_new = cand.max(axis=1)
         pm_new = pm_new - pm_new.max()
-        return pm_new, best.astype(jnp.int32)
+        return pm_new, best.astype(jnp.int8)
 
     pm_final, choices = jax.lax.scan(step, pm0, metrics)
 
     s_end = (jnp.argmax(pm_final).astype(jnp.int32)
              if end_state < 0 else jnp.asarray(end_state, jnp.int32))
 
-    def back(s, ch_t):
-        j = ch_t[s]
-        inp = PIc[s, j]
-        prev = PSc[s, j]
-        return prev, inp
+    # Traceback with the state as a one-hot vector: per-step work is tiny
+    # static einsums instead of dynamic gathers (dynamic gathers inside a
+    # K-deep scan are the whole cost on TPU — ~270x slower measured).
+    deg = PSc.shape[1]
+    pred_oh = np.zeros((S, deg, S), np.float32)
+    ps_host = np.maximum(np.asarray(fsm.PS), 0)
+    pred_oh[np.arange(S)[:, None], np.arange(deg)[None, :], ps_host] = 1.0
+    pred_oh_j = jnp.asarray(pred_oh)
+    pi_f = jnp.asarray(np.maximum(np.asarray(fsm.PI), 0), jnp.float32)
+    s0_oh = (jnp.arange(S) == s_end).astype(jnp.float32)
 
-    _, inputs_rev = jax.lax.scan(back, s_end, choices, reverse=True)
-    return inputs_rev.astype(jnp.int32)
+    def back(s_oh, ch_t):
+        ch_oh = (ch_t[:, None] ==
+                 jnp.arange(deg, dtype=ch_t.dtype)).astype(jnp.float32)
+        sel = s_oh[:, None] * ch_oh                       # (S, deg)
+        prev_oh = (sel[:, :, None] * pred_oh_j).sum((0, 1))
+        inp = (sel * pi_f).sum()
+        return prev_oh, inp
+
+    _, inputs_rev = jax.lax.scan(back, s0_oh, choices, reverse=True)
+    return jnp.round(inputs_rev).astype(jnp.int32)
 
 
 def _viterbi_parallel(fsm: FSM, metrics: jnp.ndarray, start_state: int,
@@ -235,15 +251,25 @@ def _reduce(x: jnp.ndarray, axis: int, sum_product: bool) -> jnp.ndarray:
 # Semiring matrix products are associative, so the whole K-step recursion
 # runs in ceil(log2 K) parallel rounds via lax.associative_scan — the same
 # trick grtpu.ops.dsp.linear_recurrence plays for IIR, lifted to S states.
-# Work is O(K S^3) instead of O(K S deg), so it is enabled automatically
-# only for small state counts (_PARALLEL_MAX_S); the O(K)-depth scans above
-# remain the fallback (and the large-S path, e.g. the k=7 CCSDS code).
+# Work is O(K S^3) instead of O(K S deg).
+#
+# Measured on 1x v5e (K=512, 4-state code): the log-depth mode wins ONLY
+# for single-packet latency (86us/packet, 23x the sequential scan at B=1);
+# once a few packets are vmapped together the O(K) scan with the one-hot
+# traceback is faster and scales to ~1.3 Gsym/s at B=4096.  Default is
+# therefore sequential; pass parallel=True for latency-critical
+# one-packet-at-a-time decodes with S <= _PARALLEL_MAX_S.
 
 _PARALLEL_MAX_S = 16
 
 
 def _use_parallel(S: int, parallel: Optional[bool]) -> bool:
-    return S <= _PARALLEL_MAX_S if parallel is None else bool(parallel)
+    if parallel is None:
+        return False
+    if parallel and S > _PARALLEL_MAX_S:
+        raise ValueError(
+            f"parallel trellis mode needs S <= {_PARALLEL_MAX_S} (got {S})")
+    return bool(parallel)
 
 
 def _semiring_mm(A: jnp.ndarray, B: jnp.ndarray,
@@ -321,15 +347,15 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
       priori: (K, I) input-symbol prior costs.
       prioro: (K, O) output-symbol prior costs (channel metrics).
       posti/posto: which posteriors to return (POSTI/POSTO flags).
-      parallel: force/forbid the log-depth recursion (default: auto,
-        on for S <= _PARALLEL_MAX_S).
+      parallel: opt into the log-depth recursion (single-packet latency
+        mode; requires S <= _PARALLEL_MAX_S).  Default: sequential scans.
 
     Returns (K, I), (K, O), or ((K, I), (K, O)) per the flags; each row is
     normalized so its min is 0 (the reference's per-step norm subtraction).
-    TPU-native: forward/backward are log-depth tropical-semiring
-    associative scans for small S (see _alphas_parallel) or O(K) lax.scans
-    over the S-vector of state costs otherwise; the combine steps are one
-    batched (K, S, I) tensor reduction either way.
+    TPU-native: forward/backward are O(K) lax.scans over the S-vector of
+    state costs (or opt-in log-depth tropical-semiring associative scans,
+    see _alphas_parallel); the combine steps are one batched (K, S, I)
+    tensor reduction either way.
     """
     S, I = fsm.S, fsm.I
     NS = jnp.asarray(fsm.NS)                    # (S, I)

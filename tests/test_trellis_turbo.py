@@ -300,12 +300,14 @@ class TestParallelTrellis:
                                           parallel=par))
             assert (dec == bits).all()
 
-    def test_large_state_fsm_stays_sequential(self):
-        """CCSDS k=7 (S=64) must auto-pick the sequential path (no S^3
-        blowup) and still decode."""
+    def test_parallel_mode_policy(self):
+        """Default is the sequential scan (faster for batched blocks);
+        parallel is opt-in and rejects large state counts (S^3 blowup)."""
         from grtpu.trellis.algorithms import _use_parallel
-        assert not _use_parallel(64, None)
-        assert _use_parallel(16, None)
+        assert not _use_parallel(4, None)
+        assert _use_parallel(16, True)
+        with pytest.raises(ValueError):
+            _use_parallel(64, True)
 
 
 class TestTurboEqualization:
