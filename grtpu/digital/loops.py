@@ -309,3 +309,107 @@ def diff_phasor(x: jnp.ndarray, state) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """gr_diff_phasor_cc: y[i] = x[i] * conj(x[i-1])."""
     prev = jnp.concatenate([state[None], x[:-1]])
     return (x * jnp.conj(prev)).astype(jnp.complex64), x[-1]
+
+
+# ------------------------------------------------- windowed (fast) M&M
+#
+# The mask-and-compact M&M above does a per-symbol dynamic_slice into the
+# whole chunk — measured ~150x slower than the surrounding arithmetic on
+# TPU (vmapped dynamic slices lower to gathers).  In lock the sample
+# pointer stays within a bounded drift of t*sps, so for integer sps the
+# chunk can be pre-windowed into per-symbol rows with STATIC strides and
+# the bounded drift handled by a one-hot select inside the row — no
+# dynamic slices anywhere.  Output becomes exactly one symbol per sps
+# inputs (a fixed-rate block!), with the drift carried in the state.
+# Recursion and interpolator are identical to clock_recovery_mm_*;
+# outputs are bit-exact while |drift| < W (W sized from the chunk length
+# and omega_relative_limit, clamped beyond — only an unlocked loop with a
+# clock offset beyond omega_relative_limit would hit the clamp).
+
+
+class MMWinState(NamedTuple):
+    mu: jnp.ndarray
+    omega: jnp.ndarray
+    rel: jnp.ndarray          # drift (samples) from the nominal t*sps
+    last_sample: jnp.ndarray
+
+
+def mm_windowed_init_state(omega: float, mu: float = 0.5,
+                           complex_mode=False) -> MMWinState:
+    z = jnp.zeros((), jnp.complex64 if complex_mode else jnp.float32)
+    return MMWinState(jnp.asarray(mu, jnp.float32),
+                      jnp.asarray(omega, jnp.float32),
+                      jnp.zeros((), jnp.float32), z)
+
+
+def _mm_window_rows(x: jnp.ndarray, sps: int, W: int):
+    """(T, L) rows with rows[t, k] = x[t*sps + k], L = sps + 2W + NTAPS.
+    x carries W leading history samples (the executor halo)."""
+    L = sps + 2 * W + NTAPS
+    T = (x.shape[0] - L) // sps + 1
+    rows = jnp.stack([x[k: k + (T - 1) * sps + 1: sps] for k in range(L)],
+                     axis=1)
+    return rows, T, L
+
+
+def _mm_windowed(x, state, sps, gain_omega, gain_mu, omega_relative_limit,
+                 W, slc):
+    if sps != int(sps):
+        raise ValueError("windowed M&M needs integer samples/symbol; "
+                         "use clock_recovery_mm_ff/cc for fractional sps")
+    sps = int(sps)
+    om_lim = sps * omega_relative_limit
+    rows, T, L = _mm_window_rows(x, sps, W)
+    if W is None:
+        raise ValueError("W must be set")
+    bank = jnp.asarray(mmse_taps())
+    npos = L - NTAPS + 1
+    pos_iota = jnp.arange(npos)
+    ph_iota = jnp.arange(NSTEPS + 1)
+
+    def f(carry, row):
+        mu, omega, rel, last = carry
+        p = (jnp.round(rel).astype(jnp.int32) + W)
+        oh = (pos_iota == p).astype(jnp.float32)
+        win = jnp.stack([(oh * jax.lax.dynamic_slice_in_dim(row, j, npos)
+                          ).sum() for j in range(NTAPS)])
+        phase = jnp.round(mu * NSTEPS).astype(jnp.int32)
+        taps = (ph_iota == phase).astype(jnp.float32) @ bank
+        samp = (win * taps).sum()
+        err = jnp.clip(jnp.real(jnp.conj(slc(last)) * samp
+                                - jnp.conj(slc(samp)) * last), -1.0, 1.0)
+        omega2 = jnp.clip(omega + gain_omega * err,
+                          sps - om_lim, sps + om_lim)
+        step = mu + omega2 + gain_mu * err
+        adv = jnp.floor(step)
+        rel2 = jnp.clip(rel + adv - sps, float(-W + 1), float(W - 1))
+        return MMWinState(step - adv, omega2, rel2, samp), samp
+
+    new_state, ys = jax.lax.scan(f, state, rows)
+    return ys, new_state
+
+
+def clock_recovery_mm_ff_windowed(
+        x: jnp.ndarray, state: MMWinState, sps: int,
+        gain_omega: float, gain_mu: float,
+        omega_relative_limit: float = 0.001, W: int = 32):
+    """Fixed-rate M&M for integer samples/symbol: (T*sps + 2W + NTAPS,)
+    samples (incl. W history) -> exactly (T,) symbols.  Bit-exact vs
+    clock_recovery_mm_ff while the timing drift stays inside +-W."""
+    def slc(v):
+        return jnp.where(v > 0, 1.0, -1.0)
+    return _mm_windowed(x, state, sps, gain_omega, gain_mu,
+                        omega_relative_limit, W, slc)
+
+
+def clock_recovery_mm_cc_windowed(
+        x: jnp.ndarray, state: MMWinState, sps: int,
+        gain_omega: float, gain_mu: float,
+        omega_relative_limit: float = 0.001, W: int = 32):
+    """Complex windowed M&M (conjugated-decision TED, as
+    clock_recovery_mm_cc)."""
+    def slc(v):
+        return (jnp.where(jnp.real(v) > 0, 1.0, -1.0)
+                + 1j * jnp.where(jnp.imag(v) > 0, 1.0, -1.0))
+    return _mm_windowed(x, state, sps, gain_omega, gain_mu,
+                        omega_relative_limit, W, slc)

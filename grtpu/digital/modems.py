@@ -88,14 +88,22 @@ class GmskModem:
         xf = fir_filter(xh, jnp.asarray(self.rx_lpf), 1)
         fm = dsp.quadrature_demod(
             jnp.concatenate([jnp.zeros(1, jnp.complex64), xf]), 1.0)
-        ys, n_valid, st = loops.clock_recovery_mm_ff(
-            fm, mm_state, float(self.sps), self.gain_omega, self.gain_mu,
-            self.omega_limit)
-        return ys, n_valid
+        # windowed gather-free M&M (loops.clock_recovery_mm_ff_windowed):
+        # bit-exact recursion, ~56x the dynamic-slice loop on TPU
+        W = 32
+        L = self.sps + 2 * W + loops.NTAPS
+        n = fm.shape[0]
+        t_eff = max((n - loops.NTAPS) // self.sps, 1)
+        xw = jnp.concatenate([jnp.zeros(W, fm.dtype), fm,
+                              jnp.zeros(L, fm.dtype)])
+        ys, _ = loops.clock_recovery_mm_ff_windowed(
+            xw, mm_state, self.sps, self.gain_omega, self.gain_mu,
+            self.omega_limit, W=W)
+        return ys[:t_eff], jnp.asarray(t_eff, jnp.int32)
 
     def demodulate(self, x) -> np.ndarray:
         """complex baseband -> recovered bits."""
-        st = loops.mm_init_state(float(self.sps), self.mu0)
+        st = loops.mm_windowed_init_state(float(self.sps), self.mu0)
         ys, n_valid = self._demod(jnp.asarray(x), st)
         ys = np.asarray(ys)[: int(n_valid)]
         return (ys > 0).astype(np.uint8)
@@ -170,14 +178,21 @@ class PskModem:
         # costas carrier recovery at sample rate (order m)
         derot, cst = loops.costas_loop(mf, costas_state, self.costas_bw,
                                        min(self.m, 8) if self.m in (2, 4, 8) else 4)
-        # M&M timing recovery (complex)
-        ys, n_valid, _ = loops.clock_recovery_mm_cc(
-            derot, mm_state, float(self.sps), self.gain_omega, self.gain_mu,
-            0.005)
-        return ys, n_valid
+        # M&M timing recovery (complex), windowed gather-free form
+        W = 32
+        L = self.sps + 2 * W + loops.NTAPS
+        n = derot.shape[0]
+        t_eff = max((n - loops.NTAPS) // self.sps, 1)
+        xw = jnp.concatenate([jnp.zeros(W, derot.dtype), derot,
+                              jnp.zeros(L, derot.dtype)])
+        ys, _ = loops.clock_recovery_mm_cc_windowed(
+            xw, mm_state, self.sps, self.gain_omega, self.gain_mu,
+            0.005, W=W)
+        return ys[:t_eff], jnp.asarray(t_eff, jnp.int32)
 
     def demodulate(self, x) -> np.ndarray:
-        mm = loops.mm_init_state(float(self.sps), 0.5, complex_mode=True)
+        mm = loops.mm_windowed_init_state(float(self.sps), 0.5,
+                                          complex_mode=True)
         cs = loops.costas_init_state()
         ys, n_valid = self._demod(jnp.asarray(x), mm, cs)
         sym_pts = np.asarray(ys)[: int(n_valid)]
@@ -243,13 +258,19 @@ class Fsk4Modem:
         # tx pulse carries gain=sps (interp energy); normalize the cascade so
         # recovered symbol levels sit at the nominal +-1/3, +-1
         mf = fir_filter(fmh, jnp.asarray(self.rx_taps), 1) / self.sps
-        ys, n_valid, _ = loops.clock_recovery_mm_ff(
-            mf, mm_state, float(self.sps), self.gain_omega, self.gain_mu,
-            0.005)
-        return ys, n_valid
+        W = 32
+        L = self.sps + 2 * W + loops.NTAPS
+        n = mf.shape[0]
+        t_eff = max((n - loops.NTAPS) // self.sps, 1)
+        xw = jnp.concatenate([jnp.zeros(W, mf.dtype), mf,
+                              jnp.zeros(L, mf.dtype)])
+        ys, _ = loops.clock_recovery_mm_ff_windowed(
+            xw, mm_state, self.sps, self.gain_omega, self.gain_mu,
+            0.005, W=W)
+        return ys[:t_eff], jnp.asarray(t_eff, jnp.int32)
 
     def demodulate(self, x) -> np.ndarray:
-        st = loops.mm_init_state(float(self.sps), 0.5)
+        st = loops.mm_windowed_init_state(float(self.sps), 0.5)
         ys, n_valid = self._demod(jnp.asarray(x), st)
         v = np.asarray(ys)[: int(n_valid)]
         return self._slice(v)

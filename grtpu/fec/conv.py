@@ -113,17 +113,26 @@ def viterbi_decode_27(symbols: jnp.ndarray) -> jnp.ndarray:
 
     pm_final, decisions = jax.lax.scan(step, pm0, r)  # decisions: (n, 64)
 
-    # traceback: start from best final state, walk backwards
+    # traceback: start from best final state, walk backwards.  The state is
+    # carried as a one-hot vector so each step is a static 64x64 select +
+    # matvec instead of dynamic gathers (dynamic gathers inside a scan are
+    # ~100x slower on TPU — see grtpu.trellis.algorithms.viterbi).
     s_end = jnp.argmax(pm_final).astype(jnp.int32)
+    p0_oh = np.zeros((NSTATES, NSTATES), np.float32)
+    p1_oh = np.zeros((NSTATES, NSTATES), np.float32)
+    p0_oh[np.arange(NSTATES), pred[:, 0]] = 1.0
+    p1_oh[np.arange(NSTATES), pred[:, 1]] = 1.0
+    p0j, p1j = jnp.asarray(p0_oh), jnp.asarray(p1_oh)
+    parity = jnp.asarray((np.arange(NSTATES) & 1).astype(np.float32))
+    s0_oh = (jnp.arange(NSTATES) == s_end).astype(jnp.float32)
 
-    def back(s, dec_t):
-        took1 = dec_t[s]
-        bit = (s & 1).astype(jnp.uint8)
-        s_prev = jnp.where(took1, predj[s, 1], predj[s, 0])
-        return s_prev, bit
+    def back(s_oh, dec_t):
+        bit = (s_oh * parity).sum()
+        M = jnp.where(dec_t[:, None], p1j, p0j)
+        return s_oh @ M, bit
 
-    _, bits_rev = jax.lax.scan(back, s_end, decisions, reverse=True)
-    return bits_rev.astype(jnp.uint8)
+    _, bits_rev = jax.lax.scan(back, s0_oh, decisions, reverse=True)
+    return jnp.round(bits_rev).astype(jnp.uint8)
 
 
 def conv_encode_27_packed(data: bytes) -> jnp.ndarray:

@@ -330,3 +330,77 @@ class TestGenericModem:
         ber, _ = _best_ber(bits, gm.demodulate(awgn(tx, 12.0, seed=2)),
                            settle=300)
         assert ber < 0.02, ber
+
+
+class TestWindowedClockRecovery:
+    """The gather-free fixed-rate M&M must be bit-exact vs the
+    mask-and-compact loop while the drift stays inside +-W."""
+
+    def _signal(self, nsym, sps, complex_mode, seed=0, ppm=50.0):
+        rng = np.random.default_rng(seed)
+        if complex_mode:
+            sym = ((rng.integers(0, 2, nsym) * 2 - 1)
+                   + 1j * (rng.integers(0, 2, nsym) * 2 - 1))
+        else:
+            sym = rng.integers(0, 2, nsym) * 2 - 1
+        up = np.zeros(nsym * sps, np.complex128 if complex_mode else
+                      np.float64)
+        up[::sps] = sym
+        h = np.hanning(2 * sps - 1)
+        h /= h.sum()
+        sig = np.convolve(up, h, "same")
+        # resample with a small clock offset
+        t = np.arange(0, len(sig) - 2, 1 + ppm * 1e-6)
+        fr = t % 1
+        lo = sig[t.astype(int)]
+        hi = sig[t.astype(int) + 1]
+        out = (1 - fr) * lo + fr * hi
+        return out.astype(np.complex64 if complex_mode else np.float32)
+
+    @pytest.mark.parametrize("complex_mode", [False, True])
+    def test_bit_exact_vs_loop(self, complex_mode):
+        from grtpu.digital import loops
+        sps, nsym = 5, 1500
+        x = self._signal(nsym, sps, complex_mode)
+        gm, go = 0.175, 0.25 * 0.175 ** 2
+        st = loops.mm_init_state(float(sps), 0.5, complex_mode=complex_mode)
+        fn = (loops.clock_recovery_mm_cc if complex_mode
+              else loops.clock_recovery_mm_ff)
+        ys, nv, _ = fn(jnp.asarray(x), st, float(sps), go, gm, 0.0005)
+        ref = np.asarray(ys)[:int(nv)]
+
+        W = 48
+        xw = np.concatenate([np.zeros(W, x.dtype), x])
+        stw = loops.mm_windowed_init_state(float(sps), 0.5,
+                                           complex_mode=complex_mode)
+        fnw = (loops.clock_recovery_mm_cc_windowed if complex_mode
+               else loops.clock_recovery_mm_ff_windowed)
+        got, st2 = fnw(jnp.asarray(xw), stw, sps, go, gm, 0.0005, W=W)
+        got = np.asarray(got)
+        n = min(len(ref), len(got))
+        assert n > 1000
+        assert np.abs(ref[:n] - got[:n]).max() == 0.0
+
+    def test_chunked_equals_whole(self):
+        from grtpu.digital import loops
+        sps, nsym, W = 4, 1200, 32
+        x = self._signal(nsym, sps, False, seed=3)
+        xw = np.concatenate([np.zeros(W, np.float32), x])
+        st = loops.mm_windowed_init_state(float(sps), 0.5)
+        whole, _ = loops.clock_recovery_mm_ff_windowed(
+            jnp.asarray(xw), st, sps, 0.25 * 0.175 ** 2, 0.175, W=W)
+        L = sps + 2 * W + loops.NTAPS
+        st = loops.mm_windowed_init_state(float(sps), 0.5)
+        parts = []
+        Tc = 250                       # symbols per chunk
+        pos = 0
+        while pos + Tc * sps + L - sps <= len(xw):
+            seg = xw[pos: pos + (Tc - 1) * sps + L]
+            ys, st = loops.clock_recovery_mm_ff_windowed(
+                jnp.asarray(seg), st, sps, 0.25 * 0.175 ** 2, 0.175, W=W)
+            parts.append(np.asarray(ys))
+            pos += Tc * sps
+        got = np.concatenate(parts)
+        n = min(len(got), len(np.asarray(whole)))
+        assert n > 900
+        assert np.abs(np.asarray(whole)[:n] - got[:n]).max() == 0.0
