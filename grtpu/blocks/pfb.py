@@ -219,3 +219,65 @@ class PfbClockSync(Block):
         k, rate_f, base = st
         st = (k, rate_f, base - x.shape[0])
         return st, (ys, n_valid)
+
+
+def pfb_clock_sync_windowed(x: jnp.ndarray, state, sps: int,
+                            taps: np.ndarray, nfilts: int, loop_bw: float,
+                            max_dev: float = 1.5, W: int = 32):
+    """Fixed-rate, gather-free pfb_clock_sync for integer sps.
+
+    Same recursion as pfb_clock_sync, but the per-symbol dynamic_slice into
+    the chunk and the bank[ki] row gather (both ~100x the arithmetic cost
+    inside a scan on TPU — see CLAUDE.md) are replaced by static-stride
+    per-symbol rows plus in-row / in-bank one-hot selects.  The timing
+    pointer's bounded drift from t*sps rides in the state (clipped at +-W).
+
+    x: (T-1)*sps + L samples with L = sps + 2W + kp (W leading history).
+    state: (k, rate_f, rel).  Returns ((T,) symbols, new state).
+    """
+    if sps != int(sps):
+        raise ValueError("windowed pfb clock sync needs integer sps")
+    sps = int(sps)
+    proto = np.asarray(taps)
+    bank = pfb_ops.polyphase_taps(proto, nfilts)[:, ::-1].copy()
+    dproto = np.empty_like(proto)
+    dproto[:-1] = proto[1:] - proto[:-1]
+    dproto[-1] = 0
+    dbank = pfb_ops.polyphase_taps(dproto, nfilts)[:, ::-1].copy()
+    kp = bank.shape[1]
+    bj, dj = jnp.asarray(bank), jnp.asarray(dbank)
+    L = sps + 2 * W + kp
+    T = (x.shape[0] - L) // sps + 1
+    rows = jnp.stack([x[k: k + (T - 1) * sps + 1: sps] for k in range(L)],
+                     axis=1)
+    alpha, beta = dsp.control_loop_gains(loop_bw)
+    npos = L - kp + 1
+    pos_iota = jnp.arange(npos)
+    nf_iota = jnp.arange(nfilts)
+
+    def f(carry, row):
+        k, rate_f, rel = carry
+        p = jnp.round(rel).astype(jnp.int32) + W
+        oh = (pos_iota == p).astype(row.dtype)
+        win = jnp.stack([(oh * jax.lax.dynamic_slice_in_dim(row, j, npos)
+                          ).sum() for j in range(kp)])
+        ki = jnp.clip(jnp.round(k).astype(jnp.int32), 0, nfilts - 1)
+        koh = (nf_iota == ki).astype(jnp.float32)
+        out = (win * (koh @ bj)).sum()
+        dout = (win * (koh @ dj)).sum()
+        err = jnp.clip((dout * jnp.conj(out)).real, -1.0, 1.0)
+        rate_f2 = jnp.clip(rate_f + beta * err, -max_dev, max_dev)
+        k2 = k + rate_f2 + alpha * err
+        shift = jnp.floor(k2 / nfilts)
+        k3 = k2 - shift * nfilts
+        rel2 = jnp.clip(rel + shift, float(-W + 1), float(W - 1))
+        return (k3, rate_f2, rel2), out.astype(x.dtype)
+
+    new_state, ys = jax.lax.scan(f, state, rows)
+    return ys, new_state
+
+
+def pfb_clock_sync_windowed_init(nfilts: int):
+    return (jnp.asarray(nfilts / 2.0, jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32))

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from grtpu.blocks.pfb import pfb_clock_sync, pfb_clock_sync_init
+from grtpu.blocks.pfb import (pfb_clock_sync_windowed,
+                              pfb_clock_sync_windowed_init)
 from grtpu.digital import loops
 from grtpu.digital.constellation import Constellation, psk_constellation
 from grtpu.ops.fir import interp_fir_filter
@@ -114,12 +115,20 @@ class GenericModem:
         xf, fll_state = loops.fll_band_edge(xh, loops.fll_init_state(),
                                             float(self.sps), self.excess_bw,
                                             fsz, self.freq_bw)
-        # pfb clock sync on the matched-filter bank
-        st = pfb_clock_sync_init(self.nfilts)
-        ys, n_valid, clk_state = pfb_clock_sync(xf, st, float(self.sps),
-                                                self.mf_bank, self.nfilts,
-                                                self.timing_bw)
-        sym_samps = ys[: 1 << 30]
+        # pfb clock sync on the matched-filter bank — windowed gather-free
+        # form (fixed rate; see pfb_clock_sync_windowed)
+        W = 32
+        st = pfb_clock_sync_windowed_init(self.nfilts)
+        kp = -(-len(self.mf_bank) // self.nfilts)
+        L = self.sps + 2 * W + kp
+        t_eff = max((xf.shape[0] - kp) // self.sps, 1)   # static
+        n_valid = jnp.asarray(t_eff, jnp.int32)
+        xw = jnp.concatenate([jnp.zeros(W, xf.dtype), xf,
+                              jnp.zeros(L, xf.dtype)])
+        ys, clk_state = pfb_clock_sync_windowed(
+            xw, st, self.sps, self.mf_bank, self.nfilts, self.timing_bw,
+            W=W)
+        sym_samps = ys[:t_eff]
         # constellation receiver (phase loop + decisions)
         syms, _, _ = loops.constellation_receiver(
             sym_samps, loops.costas_init_state(), self.constellation,

@@ -247,3 +247,42 @@ class TestPfbBlocks:
                       (got[off + 200: off + 200 + m] == -bits[200: 200 + m]).mean())
             best = max(best, acc)
         assert best > 0.98, best
+
+
+class TestWindowedPfbClockSync:
+    def test_bit_exact_vs_loop(self):
+        import jax.numpy as jnp
+        from grtpu.blocks.pfb import (
+            pfb_clock_sync, pfb_clock_sync_init, pfb_clock_sync_windowed,
+            pfb_clock_sync_windowed_init)
+        from grtpu.utils import firdes
+        rng = np.random.default_rng(0)
+        sps, nfilts, nsym = 4, 32, 800
+        taps = firdes.root_raised_cosine(nfilts, nfilts * sps, 1.0, 0.35,
+                                         11 * sps * nfilts)
+        syms = ((rng.integers(0, 2, nsym) * 2 - 1)
+                + 1j * (rng.integers(0, 2, nsym) * 2 - 1)) / np.sqrt(2)
+        up = np.zeros(nsym * sps, np.complex128)
+        up[::sps] = syms
+        h = firdes.root_raised_cosine(1.0, sps, 1.0, 0.35, 11 * sps)
+        x = np.convolve(up, h, "same")
+        # small fractional resample = timing offset
+        t = np.arange(0, len(x) - 2, 1.0001)
+        fr = t % 1
+        x = ((1 - fr) * x[t.astype(int)] + fr * x[t.astype(int) + 1]
+             ).astype(np.complex64)
+
+        st = pfb_clock_sync_init(nfilts)
+        ys, nv, _ = pfb_clock_sync(jnp.asarray(x), st, float(sps), taps,
+                                   nfilts, 0.06)
+        ref = np.asarray(ys)[:int(nv)]
+
+        W = 32
+        xw = np.concatenate([np.zeros(W, np.complex64), x])
+        stw = pfb_clock_sync_windowed_init(nfilts)
+        got, _ = pfb_clock_sync_windowed(jnp.asarray(xw), stw, sps, taps,
+                                         nfilts, 0.06, W=W)
+        got = np.asarray(got)
+        n = min(len(ref), len(got))
+        assert n > 600
+        assert np.abs(ref[:n] - got[:n]).max() < 1e-5
