@@ -245,6 +245,25 @@ class TestDsp:
         y = np.asarray(dsp.quadrature_demod(jnp.asarray(x), gain))
         np.testing.assert_allclose(y, 2 * np.pi * f / fs, rtol=1e-3)
 
+    def test_fast_atan2(self):
+        """Polynomial atan2 (gr_fast_atan2f analog): <2e-5 rad everywhere,
+        exact on the axes, 0 at the origin like the reference."""
+        r = np.random.RandomState(5)
+        y = np.concatenate([r.randn(5000).astype(np.float32) * 10,
+                            [0, 0, 1, -1, 0]]).astype(np.float32)
+        x = np.concatenate([r.randn(5000).astype(np.float32) * 10,
+                            [1, -1, 0, 0, 0]]).astype(np.float32)
+        a = np.asarray(dsp.fast_atan2(jnp.asarray(y), jnp.asarray(x)))
+        np.testing.assert_allclose(a, np.arctan2(y, x), atol=2e-5)
+        assert float(dsp.fast_atan2(jnp.float32(0), jnp.float32(0))) == 0.0
+
+    def test_quadrature_demod_fast(self):
+        fs, f, n = 8000.0, 440.0, 256
+        t = np.arange(n + 1)
+        x = np.exp(2j * np.pi * f / fs * t).astype(np.complex64)
+        y = np.asarray(dsp.quadrature_demod(jnp.asarray(x), 1.0, fast=True))
+        np.testing.assert_allclose(y, 2 * np.pi * f / fs, rtol=1e-3)
+
     def test_rotate_continuity(self):
         """Rotator phase must be continuous across chunks."""
         inc = 0.123

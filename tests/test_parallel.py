@@ -92,6 +92,71 @@ class TestShardedWfm:
         np.testing.assert_allclose(float(p8), float(p1), rtol=1e-3)
         np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), atol=2e-4)
 
+    def test_pipeline_chain_matches_sequential(self):
+        """8-stage FIR pipeline over the 'stage' mesh axis == the same
+        cascade run sequentially on one device (mp-sched analog)."""
+        from grtpu.ops.fir import fir_filter
+        from grtpu.parallel.pipeline import fir_chain_pipeline
+
+        S, K, chunk, M = 8, 17, 64, 6
+        rng = np.random.RandomState(7)
+        taps = rng.randn(S, K).astype(np.float32) / K
+        x = rng.randn(M * chunk).astype(np.float32)
+
+        mesh = Mesh(np.array(jax.devices()[:S]), ("stage",))
+        pipe = fir_chain_pipeline(mesh, taps)
+        y = np.asarray(pipe.run(jnp.asarray(x).reshape(M, chunk))).ravel()
+
+        ref = x
+        for s in range(S):
+            xh = np.concatenate([np.zeros(K - 1, np.float32), ref])
+            ref = np.asarray(fir_filter(jnp.asarray(xh),
+                                        jnp.asarray(taps[s]), 1))
+        np.testing.assert_allclose(y, ref, atol=1e-3)
+
+    def test_pipeline_state_continuity(self):
+        """Two consecutive runs == one run over the concatenated stream."""
+        from grtpu.parallel.pipeline import fir_chain_pipeline
+
+        S, K, chunk, M = 4, 9, 32, 4
+        rng = np.random.RandomState(9)
+        taps = rng.randn(S, K).astype(np.float32) / K
+        x = rng.randn(2 * M * chunk).astype(np.float32)
+        mesh = Mesh(np.array(jax.devices()[:S]), ("stage",))
+
+        pipe = fir_chain_pipeline(mesh, taps)
+        y1 = np.asarray(pipe.run(jnp.asarray(x[:M * chunk]).reshape(M, chunk)))
+        y2 = np.asarray(pipe.run(jnp.asarray(x[M * chunk:]).reshape(M, chunk)))
+        split = np.concatenate([y1.ravel(), y2.ravel()])
+
+        whole = fir_chain_pipeline(mesh, taps)
+        yw = np.asarray(whole.run(jnp.asarray(x).reshape(2 * M, chunk)))
+        np.testing.assert_allclose(split, yw.ravel(), atol=1e-4)
+
+    def test_tap_parallel_fir(self):
+        """Tap-sharded FIR (TP analog): psum of per-shard partials == the
+        unsharded filter."""
+        from grtpu.ops.fir import fir_filter
+        from grtpu.parallel.pipeline import tap_parallel_fir
+
+        n_dev, K, N = 4, 64, 512
+        rng = np.random.RandomState(11)
+        taps = rng.randn(K).astype(np.float32)
+        x = rng.randn(N + K - 1).astype(np.float32)
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("tp",))
+        Kl = K // n_dev
+        tl = taps.reshape(n_dev, Kl)
+
+        def f(xr, tloc):
+            return tap_parallel_fir(xr, tloc[0], "tp")
+
+        g = jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P(), P("tp")), out_specs=P(),
+            check_vma=False))
+        y = np.asarray(g(jnp.asarray(x), jnp.asarray(tl)))
+        y_ref = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), 1))
+        np.testing.assert_allclose(y, y_ref, atol=3e-3)
+
     def test_multi_step_state_continuity(self):
         """Two sharded steps == two single-device steps (state carryover)."""
         mesh8 = make_mesh(8)
