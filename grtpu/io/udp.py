@@ -91,3 +91,42 @@ class UdpSink:
             except OSError:
                 pass
         self.sock.close()
+
+
+def native_udp_source(host: str, port: int, dtype=np.complex64,
+                      payload_size: int = 1472, ring_bytes: int = 1 << 22):
+    """UdpSource on the native data plane: a C++ receiver thread fills a
+    double-mapped ring (grtpu.io.native.UdpPump) so datagram handling never
+    runs in the Python chunk loop.  Returns an object with the same
+    read_items/chunks/close surface as :class:`UdpSource`."""
+    from grtpu.io import native
+
+    class _NativeUdpSource:
+        def __init__(self):
+            self.dtype = np.dtype(dtype)
+            self.ring = native.RingBuffer(ring_bytes)
+            self.pump = native.UdpPump(self.ring, host, port, payload_size)
+
+        def read_items(self, n: int, timeout: float = 5.0):
+            import time as _time
+            deadline = _time.monotonic() + timeout
+            need = n * self.dtype.itemsize
+            while (self.ring.readable < need and not self.ring.eof
+                   and _time.monotonic() < deadline):
+                _time.sleep(0.0002)
+            if self.ring.readable < need:
+                return None
+            return self.ring.read_items(n, self.dtype)
+
+        def chunks(self, chunk_items: int):
+            while True:
+                arr = self.read_items(chunk_items)
+                if arr is None:
+                    return
+                yield arr
+
+        def close(self):
+            self.pump.stop()
+            self.ring.close()
+
+    return _NativeUdpSource()

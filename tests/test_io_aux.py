@@ -259,6 +259,120 @@ class TestNativeRing:
         assert len(full) == 65536
 
 
+class TestNativeLoader:
+    """The C++ data-loader (loader.cc): UDP pumps, write-behind sink,
+    fused format-converting ring reads."""
+
+    def _need(self):
+        from grtpu.io import native
+
+        if not native.available():
+            pytest.skip("no native compiler")
+        return native
+
+    def test_native_file_source_raw(self, tmp_path):
+        native = self._need()
+        path = str(tmp_path / "cap.f32")
+        x = RNG.randn(40000).astype(np.float32)
+        x.tofile(path)
+        src = native.NativeFileSource(path, np.float32)
+        got = list(src.chunks(4096))
+        src.close()
+        full = np.concatenate(got)
+        np.testing.assert_array_equal(full[:40000], x)
+        # final chunk zero-padded to the fixed size
+        assert len(full) % 4096 == 0
+        assert np.all(full[40000:] == 0)
+
+    def test_native_file_source_i16(self, tmp_path):
+        native = self._need()
+        path = str(tmp_path / "cap.i16")
+        x = RNG.randint(-32768, 32768, 10000).astype(np.int16)
+        x.tofile(path)
+        src = native.NativeFileSource(path, wire="i16", scale=1.0 / 32768)
+        full = np.concatenate(list(src.chunks(2500)))
+        src.close()
+        np.testing.assert_allclose(full, x / 32768.0, atol=1e-7)
+
+    def test_native_file_source_sc16_planar(self, tmp_path):
+        native = self._need()
+        path = str(tmp_path / "cap.sc16")
+        iq = RNG.randint(-32768, 32768, 8192).astype(np.int16)
+        iq.tofile(path)
+        src = native.NativeFileSource(path, wire="sc16", scale=1.0)
+        re, im = next(src.chunks(4096))
+        src.close()
+        np.testing.assert_array_equal(re, iq[0::2].astype(np.float32))
+        np.testing.assert_array_equal(im, iq[1::2].astype(np.float32))
+
+    def test_u8_conversion(self, tmp_path):
+        native = self._need()
+        path = str(tmp_path / "cap.u8")
+        x = RNG.randint(0, 256, 5000).astype(np.uint8)
+        x.tofile(path)
+        src = native.NativeFileSource(path, wire="u8", scale=1 / 128.0,
+                                      offset=-127.0)
+        full = np.concatenate(list(src.chunks(1000)))
+        src.close()
+        np.testing.assert_allclose(
+            full, (x.astype(np.float32) - 127.0) / 128.0, atol=1e-7)
+
+    def test_f32_to_i16(self):
+        native = self._need()
+        x = np.array([0.0, 0.5, -0.5, 1.5, -1.5, 1 / 32767.0], np.float32)
+        y = native.f32_to_i16(x, scale=32767.0)
+        np.testing.assert_array_equal(
+            y, [0, 16384, -16384, 32767, -32768, 1])
+
+    def test_write_pump(self, tmp_path):
+        native = self._need()
+        path = str(tmp_path / "out.bin")
+        rb = native.RingBuffer(1 << 16)
+        wp = native.WritePump(rb, path)
+        x = RNG.randn(100000).astype(np.float32)
+        wp.write(x)
+        wp.close()
+        np.testing.assert_array_equal(np.fromfile(path, np.float32), x)
+
+    def test_native_udp_source_chunks(self):
+        import time
+
+        native = self._need()
+        from grtpu.io.udp import UdpSink, native_udp_source
+
+        port = 47655
+        src = native_udp_source("127.0.0.1", port, np.complex64)
+        snk = UdpSink("127.0.0.1", port, np.complex64)
+        x = (RNG.randn(8192) + 1j * RNG.randn(8192)).astype(np.complex64)
+        snk.write_items(x)
+        snk.close()
+        time.sleep(0.05)
+        got = np.concatenate(list(src.chunks(2048)))
+        src.close()
+        np.testing.assert_array_equal(got, x)
+
+    def test_udp_pump_loopback(self):
+        """Native UDP sender -> native UDP receiver pump, EOF convention."""
+        import time
+
+        native = self._need()
+        rb = native.RingBuffer(1 << 20)
+        port = 47653
+        pump = native.UdpPump(rb, "127.0.0.1", port)
+        snd = native.UdpSender("127.0.0.1", port)
+        x = RNG.randn(30000).astype(np.float32)
+        snd.send(x)
+        snd.close()  # sends zero-length EOF datagram
+        deadline = time.time() + 10
+        while time.time() < deadline and rb.readable < x.nbytes:
+            time.sleep(0.002)
+        got = rb.read_items(30000, np.float32)
+        pump.stop()
+        assert got is not None
+        np.testing.assert_array_equal(got, x)
+        assert rb.eof
+
+
 class TestGrcCompiler:
     def _spec(self):
         from grtpu.grc import FlowgraphSpec
