@@ -39,7 +39,8 @@ class OscopeSink(Block):
         when no trigger found)."""
         if self.captured is None:
             return []
-        x = np.asarray(self.captured[0])
+        from grtpu.utils.xfer import to_numpy
+        x = to_numpy(self.captured[0])
         n = self.frame_size
         sig = x.real if np.iscomplexobj(x) else x
         if slope == "pos":

@@ -42,6 +42,16 @@ def _edge_key(e: Edge) -> str:
     return f"{sname}.{e.src.port}->{e.dst.block.name}.{e.dst.port}"
 
 
+def _ingest(x):
+    """Host input -> device, routing complex through the f32-plane path
+    (complex64 H2D is unimplemented on some transports, see utils.xfer)."""
+    if isinstance(x, jax.Array):
+        return x
+    from grtpu.utils import xfer
+
+    return xfer.device_array(x)
+
+
 class StreamExecutor:
     """Compile + run a flowgraph over fixed-size time-blocks.
 
@@ -285,7 +295,7 @@ class StreamExecutor:
                 self._collect(pads, sinks, outs_accum, sink_accum)
             return self._finalize(outs_accum, sink_accum, None)
 
-        xs = [jnp.asarray(x) for x in ext_inputs]
+        xs = [_ingest(x) for x in ext_inputs]
         n = xs[0].shape[0]
         cs = self.chunk_size
         nchunks = -(-n // cs)
@@ -311,7 +321,7 @@ class StreamExecutor:
         for chunk in chunk_iter:
             if not isinstance(chunk, (tuple, list)):
                 chunk = (chunk,)
-            pads, _ = self.step(*[jnp.asarray(c) for c in chunk])
+            pads, _ = self.step(*[_ingest(c) for c in chunk])
             yield pads if len(pads) != 1 else pads[0]
 
     def _collect(self, pads, sinks, outs_accum, sink_accum):

@@ -56,3 +56,37 @@ def host_int(x, dtype=np.int32) -> np.ndarray:
     |values| < 2^24; use host_int64 pairs beyond that)."""
     f = np.asarray(jnp.asarray(x).astype(jnp.float32))
     return f.astype(dtype)
+
+
+def to_numpy(x) -> np.ndarray:
+    """np.asarray(x) with automatic fallback through the f32-only paths.
+
+    The universal device->host converter for sink captures: direct copy
+    where the backend supports the dtype, otherwise complex via
+    :func:`host_complex` (two f32 plane readbacks) or small-int via
+    :func:`host_int`."""
+    if isinstance(x, np.ndarray):
+        return x
+    dt = np.dtype(x.dtype)
+    if dt.kind == "c" and jax.default_backend() not in ("cpu", "gpu"):
+        # route by dtype upfront: a *failed* direct complex D2H attempt
+        # can wedge fragile transports, so don't even try it there
+        return host_complex(x)
+    try:
+        return np.asarray(x)
+    except Exception:
+        if dt.kind == "c":
+            return host_complex(x)
+        if dt.kind in "iub":
+            return host_int(x, dt)
+        raise
+
+
+def device_array(x) -> jnp.ndarray:
+    """Host array -> device with automatic fallback for complex input
+    (complex64 H2D is unimplemented on some transports; int is widened
+    losslessly below 2^24)."""
+    x = np.asarray(x)
+    if x.dtype.kind == "c":
+        return device_complex(x)
+    return jnp.asarray(x)
