@@ -671,3 +671,18 @@ class TestGrcRegistryCoverage:
         for key, args in samples.items():
             blk = BLOCK_REGISTRY[key](*args)
             assert blk is not None, key
+
+
+class TestMigrationDoc:
+    def test_every_registry_key_documented(self):
+        """docs/MIGRATION.md's block table stays in sync with the GRC
+        registry (the user-facing completeness contract)."""
+        import os
+
+        from grtpu.grc import registry
+
+        path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                            "MIGRATION.md")
+        doc = open(path).read()
+        missing = [k for k in registry.BLOCK_REGISTRY if f"`{k}`" not in doc]
+        assert not missing, f"undocumented registry keys: {missing[:10]}"
