@@ -8,10 +8,12 @@ handoffs collapses into a single on-chip loop.
 
 Layout trick: the stream lives as a (rows, 128) row-major matrix.  With
 taps zero-padded to 257 (halo = 256 samples = 2 rows), a stage's (R, 384)
-Toeplitz window matrix is three lane-block copies of the stream buffer,
-giving ONE (R,384)@(384,128) MXU matmul per stage.  Two precision modes:
-Mosaic HIGHEST (f32-class) or a manual bf16 split-word 3-pass (~1.7x
-faster at ~3e-5 rel err).
+Toeplitz window matrix is three sublane-shifted VIEWS of the stream
+buffer, so each stage is three (R,128)@(128,128) MXU matmuls on shifted
+reads — nothing is materialized, and the bf16 split-word decomposition
+happens once per stage on the (R,128) buffer rather than on the
+3x-redundant window.  Two precision modes: Mosaic HIGHEST (f32-class) or
+a manual bf16 split-word 3-pass (~1.6x faster at ~5e-6 rel err).
 
 Alignment rules learned on hardware (Mosaic faults otherwise): every DMA
 row count and scratch allocation is a multiple of 8 sublanes; stages run
@@ -63,7 +65,7 @@ def _tap_matrix_np(taps_padded: np.ndarray) -> np.ndarray:
     return t.astype(np.float32)
 
 
-def _cascade_kernel(x_hbm, th_ref, tl_ref, o_ref, buf, w384, sem, *,
+def _cascade_kernel(x_hbm, th_ref, tl_ref, o_ref, buf, bh, bl, sem, *,
                     nstages: int, tile_rows: int, halo_alloc: int,
                     precision: str):
     i = pl.program_id(0)   # batch row
@@ -81,20 +83,29 @@ def _cascade_kernel(x_hbm, th_ref, tl_ref, o_ref, buf, w384, sem, *,
             a, tt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
+    # The (R,384) Toeplitz window matrix is three sublane-shifted views of
+    # the stream buffer, so the stage matmul decomposes into three
+    # (R,128)@(128,128) products on shifted READS (legal at any sublane
+    # offset) — no window materialization, and for the split-word mode the
+    # bf16 hi/lo decomposition happens ONCE on the (R+8,128) buffer instead
+    # of on the 3x-redundant window (identical numerics, ~4.5x less VPU
+    # work between MXU ops).
     for _ in range(nstages):
-        # materialize the (R, 384) window matrix in VMEM (three lane-block
-        # copies), then ONE wide matmul per stage
-        w384[:, 0:LANE] = buf[0:R]
-        w384[:, LANE:2 * LANE] = buf[1:R + 1]
-        w384[:, 2 * LANE:3 * LANE] = buf[2:R + 2]
-        w = w384[:, :]
         if precision == "f32":
-            y = mm(w, th_ref[:], jax.lax.Precision.HIGHEST)
+            y = mm(buf[0:R], th_ref[0:LANE], jax.lax.Precision.HIGHEST)
+            y += mm(buf[1:R + 1], th_ref[LANE:2 * LANE],
+                    jax.lax.Precision.HIGHEST)
+            y += mm(buf[2:R + 2], th_ref[2 * LANE:3 * LANE],
+                    jax.lax.Precision.HIGHEST)
         else:  # bf16x3: manual split-word 3-pass (rel err ~3e-5)
-            wh = w.astype(jnp.bfloat16)
-            wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-            y = (mm(wh, th_ref[:]) + mm(wh, tl_ref[:])
-                 + mm(wl, th_ref[:]))
+            bh[:] = buf[:].astype(jnp.bfloat16)
+            bl[:] = (buf[:] - bh[:].astype(jnp.float32)).astype(jnp.bfloat16)
+            y = jnp.zeros((R, LANE), jnp.float32)
+            for d in range(3):
+                th_d = th_ref[d * LANE:(d + 1) * LANE]
+                tl_d = tl_ref[d * LANE:(d + 1) * LANE]
+                wh = bh[d:R + d]
+                y += mm(wh, th_d) + mm(wh, tl_d) + mm(bl[d:R + d], th_d)
         buf[:R] = y
     pre = halo_alloc - nstages * HALO_ROWS
     o_ref[0] = buf[pre:pre + tile_rows]
@@ -113,8 +124,10 @@ def fir_cascade(x: jnp.ndarray, taps: np.ndarray, nstages: int,
       nstages: number of chained stages.
       tile_rows: output rows (x128 samples) per grid step (multiple of 8).
       precision: "f32" (Mosaic HIGHEST multi-pass, ~1.6e-7 rel err) or
-        "bf16x3" (manual split-word 3-pass, ~3e-5 rel err ~= 90 dB SNR,
-        ~1.7x faster — measured 30.2 vs 18.7 TFLOPS on v5e).
+        "bf16x3" (manual split-word 3-pass, ~5e-6 rel err ~= 105 dB SNR,
+        ~1.6x faster — measured 33-37 vs 20.7 TFLOPS on v5e; the shifted
+        formulation is 15-20% faster than the materialized (R,384) window
+        it replaced, interleaved A/B on hardware).
 
     Returns (batch, n) float32.
     """
@@ -163,7 +176,8 @@ def fir_cascade(x: jnp.ndarray, taps: np.ndarray, nstages: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((R + 8, LANE), jnp.float32),
-            pltpu.VMEM((R, 3 * LANE), jnp.float32),
+            pltpu.VMEM((R + 8, LANE), jnp.bfloat16),
+            pltpu.VMEM((R + 8, LANE), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
