@@ -179,3 +179,59 @@ class TestShardedWfm:
             a1, s1, _ = f1(iq, s1)
             np.testing.assert_allclose(np.asarray(a8), np.asarray(a1),
                                        atol=2e-4, err_msg=f"step {step}")
+
+
+class TestMultihost:
+    """Per-host ingest -> global sharded stream (multi-host §5.8 story;
+    single-process here, so the host owns all shards — the same code path
+    a pod runs per host)."""
+
+    def test_host_shard_spec_covers_global(self):
+        from grtpu.parallel.multihost import host_shard_spec
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                    ("time", "chan"))
+        sl = host_shard_spec(mesh, P("chan", "time"), (8, 1024))
+        assert sl == (slice(0, 8), slice(0, 1024))
+
+    def test_feed_from_host_matches_device_put(self):
+        from grtpu.parallel.multihost import feed_from_host
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                    ("time", "chan"))
+        x = np.arange(8 * 256, dtype=np.float32).reshape(8, 256)
+        arr = feed_from_host(mesh, P("chan", "time"), x, (8, 256))
+        np.testing.assert_array_equal(np.asarray(arr), x)
+        assert arr.sharding.spec == P("chan", "time")
+
+    def test_udp_ingest_feeds_sharded_wfm(self):
+        """End-to-end: UDP 'antenna feed' -> per-host ingest -> the
+        sharded WBFM bank consumes the global array."""
+        import threading
+
+        from grtpu.io.udp import UdpSink, UdpSource
+        from grtpu.parallel.multihost import udp_ingest_step
+
+        mesh = make_mesh(8)
+        nchan = 2 * mesh.shape["chan"]
+        bank = ShardedWfmBank(mesh, quad_rate=64e3, audio_decim=4,
+                              nchannels=nchan)
+        t_total = mesh.shape["time"] * 256
+        rng = np.random.RandomState(3)
+        iq = (rng.randn(nchan, t_total)
+              + 1j * rng.randn(nchan, t_total)).astype(np.complex64)
+
+        src = UdpSource("127.0.0.1", 0, np.complex64, timeout=2.0)
+        port = src.sock.getsockname()[1]
+        snk = UdpSink("127.0.0.1", port, np.complex64)
+        t = threading.Thread(target=lambda: snk.write_items(iq.ravel()))
+        t.start()
+        arr = udp_ingest_step(mesh, P("chan", "time"), src,
+                              nchan * t_total, (nchan, t_total))
+        t.join()
+        snk.close()
+        src.close()
+        assert arr is not None
+        audio, st, power = bank.jitted()(arr, bank.init_state())
+        assert np.isfinite(float(power))
+        np.testing.assert_array_equal(np.asarray(arr), iq)
