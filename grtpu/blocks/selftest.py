@@ -51,7 +51,11 @@ def lfsr_32k_words(n_words: int = BUFSIZE) -> np.ndarray:
 
 
 class Lfsr32kSource(Block):
-    """gr_lfsr_32k_source_s: cyclic 2047-word LFSR pattern source."""
+    """gr_lfsr_32k_source_s: cyclic 2047-word LFSR pattern source.
+
+    Gather-free: the table is tiled host-side so one dynamic_slice at the
+    carried phase yields the chunk (indexing with a traced index array is
+    a gather — the repo-wide TPU anti-pattern)."""
 
     def __init__(self, name=None):
         self.out_ports = (Port(jnp.int32),)
@@ -62,8 +66,12 @@ class Lfsr32kSource(Block):
         return jnp.zeros((), jnp.int32)
 
     def apply(self, state, n: int):
-        idx = (state + jnp.arange(n)) % BUFSIZE
-        return (state + n) % BUFSIZE, jnp.asarray(self.data)[idx]
+        reps = -(-(n + BUFSIZE) // BUFSIZE)
+        tiled = np.tile(self.data, reps)  # host constant, per static n
+        import jax
+
+        y = jax.lax.dynamic_slice_in_dim(jnp.asarray(tiled), state, n)
+        return (state + n) % BUFSIZE, y
 
 
 class _CheckBase(Block):

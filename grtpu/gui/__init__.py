@@ -109,14 +109,24 @@ class FftSink(Block):
         return (10.0 * np.log10(np.maximum(acc, 1e-20))).astype(np.float32)
 
     def freqs(self) -> np.ndarray:
+        """Display frequency axis: full shifted axis for complex input,
+        the one-sided 0..fs/2 half for real input (the other half is the
+        mirror image — wxgui fftsink2 shows the same half)."""
         n, fs = self.fft_size, self.sample_rate
-        f = np.fft.fftfreq(n, 1.0 / fs)
-        return np.fft.fftshift(f) if self._complex else f
+        if self._complex:
+            return np.fft.fftshift(np.fft.fftfreq(n, 1.0 / fs))
+        return np.fft.rfftfreq(n, 1.0 / fs)
+
+    def _display(self, s: np.ndarray) -> np.ndarray:
+        """Slice spectra rows to match freqs() for real input."""
+        if self._complex or s.shape[-1] == 0:
+            return s
+        return s[..., : self.fft_size // 2 + 1]
 
     def render(self, path: str, title: str = "spectrum") -> str:
         plt = _mpl()
         fig, ax = plt.subplots(figsize=(9, 4.5))
-        ax.plot(self.freqs(), self.spectrum(), lw=0.8)
+        ax.plot(self.freqs(), self._display(self.spectrum()), lw=0.8)
         ax.set_xlabel("frequency [Hz]")
         ax.set_ylabel("power [dB]")
         ax.set_title(title)
@@ -133,7 +143,7 @@ class WaterfallSink(FftSink):
 
     def render(self, path: str, title: str = "waterfall") -> str:
         plt = _mpl()
-        s = self.spectra()
+        s = self._display(self.spectra())
         fig, ax = plt.subplots(figsize=(9, 5))
         if len(s):
             t_span = len(s) * self.fft_size / self.sample_rate
@@ -234,7 +244,10 @@ class NumberSink(Block):
         """The running-average trajectory over the captured stream."""
         if self.captured is None:
             return np.zeros(0, np.float32)
-        x = to_numpy(self.captured[0]).astype(np.float64)
+        x = to_numpy(self.captured[0])
+        if np.iscomplexobj(x):
+            x = np.abs(x)  # complex meter reads magnitude
+        x = x.astype(np.float64)
         a = self.avg_alpha
         from scipy.signal import lfilter
         y = lfilter([a], [1.0, -(1.0 - a)], x, zi=[0.0])[0]

@@ -269,12 +269,22 @@ class WritePump:
         if not self._h:
             raise RuntimeError(f"cannot open {path}")
 
-    def write(self, data) -> int:
+    def write(self, data, timeout: float = 10.0) -> int:
+        import time as _time
+
         buf = np.ascontiguousarray(data).tobytes() \
             if isinstance(data, np.ndarray) else bytes(data)
         off = 0
+        deadline = _time.monotonic() + timeout
         while off < len(buf):
-            off += self._ring.write(buf[off:])
+            n = self._ring.write(buf[off:])
+            off += n
+            if n == 0:
+                # ring full: writer thread busy — or dead (disk error)
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(
+                        "write pump stalled (disk full / I/O error?)")
+                _time.sleep(0.0002)
         return off
 
     def close(self):

@@ -19,12 +19,31 @@
 #include <arpa/inet.h>
 #include <cstdint>
 #include <cstring>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <pthread.h>
 #include <sys/socket.h>
 #include <sys/types.h>
 #include <unistd.h>
 #include <cstdio>
+
+namespace {
+
+// Resolve a dotted quad or hostname to an IPv4 address (0 on failure).
+// inet_addr alone returns INADDR_NONE for names like "localhost".
+bool resolve_ipv4(const char* host, in_addr_t* out) {
+  in_addr_t a = inet_addr(host);
+  if (a != INADDR_NONE) { *out = a; return true; }
+  struct addrinfo hints = {}, *res = nullptr;
+  hints.ai_family = AF_INET;
+  hints.ai_socktype = SOCK_DGRAM;
+  if (getaddrinfo(host, nullptr, &hints, &res) != 0 || !res) return false;
+  *out = ((sockaddr_in*)res->ai_addr)->sin_addr.s_addr;
+  freeaddrinfo(res);
+  return true;
+}
+
+}  // namespace
 
 struct RingBuf;  // opaque; all access through ringbuf.cc's extern "C" API
 
@@ -78,7 +97,11 @@ UdpPump* grtpu_udp_pump(RingBuf* rb, const char* host, int port,
   sockaddr_in addr = {};
   addr.sin_family = AF_INET;
   addr.sin_port = htons((uint16_t)port);
-  addr.sin_addr.s_addr = host && host[0] ? inet_addr(host) : INADDR_ANY;
+  addr.sin_addr.s_addr = INADDR_ANY;
+  if (host && host[0] && !resolve_ipv4(host, &addr.sin_addr.s_addr)) {
+    close(sock);
+    return nullptr;
+  }
   if (bind(sock, (sockaddr*)&addr, sizeof(addr)) != 0) {
     close(sock);
     return nullptr;
@@ -115,8 +138,8 @@ UdpSender* grtpu_udp_sender(const char* host, int port, size_t payload) {
   sockaddr_in addr = {};
   addr.sin_family = AF_INET;
   addr.sin_port = htons((uint16_t)port);
-  addr.sin_addr.s_addr = inet_addr(host);
-  if (connect(sock, (sockaddr*)&addr, sizeof(addr)) != 0) {
+  if (!resolve_ipv4(host, &addr.sin_addr.s_addr) ||
+      connect(sock, (sockaddr*)&addr, sizeof(addr)) != 0) {
     close(sock);
     return nullptr;
   }

@@ -25,6 +25,7 @@ code path the pod runs.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Tuple
 
@@ -55,12 +56,14 @@ def init_distributed(coordinator: Optional[str] = None,
     )
 
 
+@functools.lru_cache(maxsize=64)
 def host_shard_spec(mesh: Mesh, spec: P,
                     global_shape: Tuple[int, ...]) -> Tuple[slice, ...]:
     """The slice of the global array this host's local devices own.
 
     Use it to know which channels / which time segment to ingest locally
-    (each host reads only its own antenna feed / capture slice)."""
+    (each host reads only its own antenna feed / capture slice).
+    Cached per (mesh, spec, shape) — it sits in the per-chunk ingest loop."""
     sharding = NamedSharding(mesh, spec)
     imap = sharding.addressable_devices_indices_map(global_shape)
     local_devs = [d for d in mesh.devices.flat
@@ -92,12 +95,18 @@ def feed_from_host(mesh: Mesh, spec: P, local_np: np.ndarray,
 def udp_ingest_step(mesh: Mesh, spec: P, source, n_items: int,
                     global_shape: Tuple[int, ...]) -> Optional[jax.Array]:
     """One gr_udp_source-replacement ingest step: pull this host's chunk
-    from ``source`` (any object with ``read_items(n)`` — grtpu.io.udp
-    UdpSource, native_udp_source, NativeFileSource...) and return the
-    global sharded array (None at EOF)."""
+    from ``source`` (any object with ``read_items(n)`` returning a flat
+    array — grtpu.io.udp.UdpSource or native_udp_source; for file replay
+    wrap NativeFileSource: ``lambda n: src.read_chunk(n)`` with a raw/
+    single-plane wire format) and return the global sharded array (None
+    at EOF)."""
     local = source.read_items(n_items)
     if local is None:
         return None
+    if isinstance(local, tuple):
+        raise TypeError(
+            "udp_ingest_step needs a single-plane source; sc16 planar "
+            "sources return (re, im) — feed the planes separately")
     local = np.asarray(local).reshape(
         [s.stop - s.start for s in host_shard_spec(mesh, spec, global_shape)])
     return feed_from_host(mesh, spec, local, global_shape)

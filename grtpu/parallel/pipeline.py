@@ -142,9 +142,11 @@ def fir_chain_pipeline(mesh: Mesh, taps: np.ndarray,
     S, K = taps.shape
 
     def stage(params, state, x):
+        if K == 1:  # memoryless stage: no history to carry
+            return state, fir_filter(x, params, 1).astype(x.dtype)
         xh = jnp.concatenate([state, x])
         y = fir_filter(xh, params, 1)
-        return xh[-(K - 1):] if K > 1 else state, y.astype(x.dtype)
+        return xh[-(K - 1):], y.astype(x.dtype)
 
     params = jnp.asarray(taps, jnp.float32)
     state = jnp.zeros((S, max(K - 1, 1)), jnp.float32)

@@ -262,13 +262,14 @@ class StreamExecutor:
     # ------------------------------------------------------------------ run
     def step(self, *ext_inputs):
         """Run one time-block; returns (pad_outputs, sink_captures)."""
+        ext_inputs = tuple(_ingest(x) for x in ext_inputs)
         for pad, x in zip(self.flat.in_pads, ext_inputs):
             want = self.chunk_size
             if x.shape[0] != want:
                 raise ValueError(
                     f"input pad {pad.index}: expected {want} items, got {x.shape[0]}"
                 )
-        self.state, out = self._jit_step(self.state, tuple(ext_inputs))
+        self.state, out = self._jit_step(self.state, ext_inputs)
         self._advance_tags()
         return out
 
@@ -295,7 +296,7 @@ class StreamExecutor:
                 self._collect(pads, sinks, outs_accum, sink_accum)
             return self._finalize(outs_accum, sink_accum, None)
 
-        xs = [_ingest(x) for x in ext_inputs]
+        xs = [_ingest(x) for x in ext_inputs]  # step() re-checks; cheap no-op
         n = xs[0].shape[0]
         cs = self.chunk_size
         nchunks = -(-n // cs)

@@ -82,11 +82,34 @@ def to_numpy(x) -> np.ndarray:
         raise
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _narrow(f, dtype_name):
+    return f.astype(dtype_name)
+
+
+def device_int(x) -> jnp.ndarray:
+    """Host integer array -> device via an f32 transfer + on-device cast
+    (exact for |values| < 2^24, which covers every integer stream type
+    the block set uses: bytes, shorts, symbol indices)."""
+    x = np.asarray(x)
+    if np.abs(x).max(initial=0) >= (1 << 24):
+        raise ValueError("device_int is exact only below 2^24; split wider "
+                         "integers into two planes")
+    f = jnp.asarray(x.astype(np.float32))
+    return _narrow(f, np.dtype(x.dtype).name)
+
+
 def device_array(x) -> jnp.ndarray:
-    """Host array -> device with automatic fallback for complex input
-    (complex64 H2D is unimplemented on some transports; int is widened
-    losslessly below 2^24)."""
+    """Host array -> device with automatic fallback through f32-only
+    transports: complex via two f32 planes, integers via f32 widening
+    (exact below 2^24)."""
     x = np.asarray(x)
     if x.dtype.kind == "c":
         return device_complex(x)
+    if (x.dtype.kind in "iu" and x.dtype.itemsize <= 8
+            and jax.default_backend() not in ("cpu", "gpu")):
+        try:
+            return device_int(x)
+        except ValueError:
+            pass  # wide values: try the direct path
     return jnp.asarray(x)

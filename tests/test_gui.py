@@ -108,3 +108,24 @@ class TestConstNumberHisto:
         assert len(counts) == 32
         out = sink.render(str(tmp_path / "histo.png"))
         assert os.path.getsize(out) > 2000
+
+
+class TestRealAndComplexHandling:
+    def test_fft_sink_real_dtype_axis(self, tmp_path):
+        fs, f = 8000.0, 1000.0
+        x = np.sin(2 * np.pi * f / fs * np.arange(4096)).astype(np.float32)
+        sink = gui.FftSink(128, fs, dtype=jnp.float32)
+        _run_into(sink, x)
+        freqs = sink.freqs()
+        assert freqs[0] == 0 and np.all(np.diff(freqs) > 0)
+        disp = sink._display(sink.spectrum())
+        assert disp.shape == freqs.shape
+        assert abs(freqs[np.argmax(disp)] - f) < fs / 128
+        out = sink.render(str(tmp_path / "rfft.png"))
+        assert os.path.getsize(out) > 4000
+
+    def test_number_sink_complex_magnitude(self):
+        x = np.full(2048, 3.0j, np.complex64)
+        sink = gui.NumberSink(avg_alpha=0.05, dtype=jnp.complex64)
+        _run_into(sink, x)
+        assert abs(sink.value() - 3.0) < 1e-3

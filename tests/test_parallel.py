@@ -235,3 +235,18 @@ class TestMultihost:
         audio, st, power = bank.jitted()(arr, bank.init_state())
         assert np.isfinite(float(power))
         np.testing.assert_array_equal(np.asarray(arr), iq)
+
+
+class TestPipelineEdgeCases:
+    def test_single_tap_stages(self):
+        """K=1 stages are memoryless scalers; the pipeline must keep the
+        rate-1 contract (regression: shape error in the scan carry)."""
+        from grtpu.parallel.pipeline import fir_chain_pipeline
+
+        S, chunk, M = 4, 32, 3
+        taps = np.full((S, 1), 2.0, np.float32)
+        mesh = Mesh(np.array(jax.devices()[:S]), ("stage",))
+        pipe = fir_chain_pipeline(mesh, taps)
+        x = np.arange(M * chunk, dtype=np.float32)
+        y = np.asarray(pipe.run(jnp.asarray(x).reshape(M, chunk))).ravel()
+        np.testing.assert_allclose(y, x * 16.0)
