@@ -360,3 +360,22 @@ class TestBertApp:
             env={**__import__("os").environ, **ENV})
         assert r.returncode == 0, r.stderr[-2000:]
         assert "BER:" in r.stdout
+
+
+class TestScaffold:
+    def test_scaffold_generates_runnable_module(self, tmp_path):
+        """The OOT scaffold (create-gnuradio-out-of-tree-project analog)
+        generates a module whose example block runs and passes its test."""
+        import subprocess
+        import sys
+
+        from grtpu.utils.scaffold import create
+
+        root = create("my_oot", str(tmp_path))
+        env = dict(__import__("os").environ,
+                   JAX_PLATFORMS="cpu",
+                   PYTHONPATH=f"{root}:/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", f"{root}/tests", "-q"],
+            capture_output=True, text=True, env=env, timeout=120)
+        assert r.returncode == 0, r.stdout + r.stderr
