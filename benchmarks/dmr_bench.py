@@ -1,0 +1,72 @@
+"""DMR demod-chain throughput (BASELINE.md north-star target #1:
+WBFM & DMR demod chains > 1 Gsample/s aggregate).
+
+Workload: a bank of C DMR channels' TDMA bursts demodulated open-loop on
+one chip (Fsk4Modem._burst_bank_fn: quadrature demod -> 110-tap matched
+RRC on the MXU -> median CFO removal -> vectorized eye-metric phase pick).
+Timing: in-jit fori_loop with carry-fed inputs + scalar-readback slope
+(see bench.py for why).
+
+Run from the repo root on the TPU: python benchmarks/dmr_bench.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from grtpu.digital.modems import Fsk4Modem
+
+    modem = Fsk4Modem(samples_per_symbol=10)
+    C, N = 128, 27648 * 4  # ~4 DMR 30ms bursts' worth per channel per step
+
+    r = np.random.RandomState(0)
+    re = jnp.asarray(r.randn(C, N).astype(np.float32) * 0.7)
+    im = jnp.asarray(r.randn(C, N).astype(np.float32) * 0.7)
+
+    def make(m):
+        @jax.jit
+        def g(a, b):
+            def body(i, carry):
+                x = ((a + carry * 1e-20) + 1j * b).astype(jnp.complex64)
+                v = modem._burst_bank_fn(x)
+                return jnp.sum(v) * 1e-20
+
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+        return g
+
+    g1, g5 = make(1), make(5)
+    float(np.asarray(g1(re, im)))
+    float(np.asarray(g5(re, im)))
+    slopes = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(np.asarray(g1(re, im)))
+        t1 = time.perf_counter()
+        float(np.asarray(g5(re, im)))
+        t2 = time.perf_counter()
+        s = ((t2 - t1) - (t1 - t0)) / 4
+        if s > 0:
+            slopes.append(s)
+    per = min(slopes)
+    msps = C * N / per / 1e6
+    print(json.dumps({
+        "metric": "dmr_burst_bank_128ch_aggregate",
+        "value": round(msps, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / 1000.0, 3),  # target: 1 Gsample/s
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -404,3 +404,28 @@ class TestWindowedClockRecovery:
         n = min(len(got), len(np.asarray(whole)))
         assert n > 900
         assert np.abs(np.asarray(whole)[:n] - got[:n]).max() == 0.0
+
+
+class TestBurstBank:
+    def test_bank_matches_single_burst_demod(self):
+        """demodulate_burst_bank == demodulate_burst per channel (same
+        open-loop algorithm, vectorized on device)."""
+        from grtpu.digital.modems import Fsk4Modem, awgn
+
+        modem = Fsk4Modem(samples_per_symbol=10)
+        rng = np.random.RandomState(4)
+        C, nsym = 4, 200
+        bursts, singles = [], []
+        for c in range(C):
+            dibits = rng.randint(0, 4, nsym)
+            iq = np.asarray(modem.modulate(dibits))
+            iq = awgn(iq, 20.0, seed=c)
+            bursts.append(iq)
+            singles.append(modem.demodulate_burst(iq))
+        bank = modem.demodulate_burst_bank(np.stack(bursts))
+        for c in range(C):
+            n = min(len(singles[c]), bank.shape[1])
+            # identical decisions (allow a couple of edge-symbol diffs from
+            # the single-path's slightly different tail handling)
+            diff = (bank[c][:n] != singles[c][:n]).sum()
+            assert diff <= 2, f"ch {c}: {diff} mismatches"
