@@ -2,16 +2,21 @@
 
 64-channel critically-sampled channelizer: the branch FIRs and the
 N-point IDFT fold into kp complex (T,N)@(N,N) matmuls (fully MXU, no
-gather, no strided FFT).  Measured on 1x TPU v5e: ~1.0 Gsample/s input
-rate (64 channels of 15.6 MHz real-time).
+gather, no strided FFT), split-word bf16x3 (~4e-6 rel err).  Measured on
+1x TPU v5e: ~1.3 Gsample/s input rate (64 channels of 20 MHz real-time);
+f32-exact mode ~0.9 Gsample/s.
 
 Run from repo root on the TPU: python benchmarks/channelizer_bench.py
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -34,23 +39,27 @@ def main():
         def g(re, im):
             def body(i, carry):
                 x = (re + carry * 1e-20 + 1j * im).astype(jnp.complex64)
-                y = channelize(x, proto, N)
+                y = channelize(x, proto, N, precision="bf16x3")
                 return jnp.sum(jnp.abs(y[-1]) ** 2)
 
             return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
 
         return g
 
-    times = {}
-    for m in (1, 4):
-        g = make(m)
-        float(np.asarray(g(re, im)))
-        reps = 2
+    g1, g4 = make(1), make(4)
+    float(np.asarray(g1(re, im)))
+    float(np.asarray(g4(re, im)))
+    slopes = []
+    for _ in range(4):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            float(np.asarray(g(re, im)))
-        times[m] = (time.perf_counter() - t0) / reps
-    per = (times[4] - times[1]) / 3
+        float(np.asarray(g1(re, im)))
+        t1 = time.perf_counter()
+        float(np.asarray(g4(re, im)))
+        t2 = time.perf_counter()
+        s = ((t2 - t1) - (t1 - t0)) / 3
+        if s > 0:
+            slopes.append(s)
+    per = min(slopes)
     msps = n / per / 1e6
     print(json.dumps({
         "metric": "pfb_channelizer_64ch_input_rate",

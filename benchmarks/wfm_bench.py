@@ -11,9 +11,13 @@ Measured on 1x TPU v5e: ~2.75 Gsamples/s aggregate (target: >1 Gsample/s).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

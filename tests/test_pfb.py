@@ -286,3 +286,21 @@ class TestWindowedPfbClockSync:
         n = min(len(ref), len(got))
         assert n > 600
         assert np.abs(ref[:n] - got[:n]).max() < 1e-5
+
+
+class TestChannelizerPrecisionModes:
+    def test_bf16x3_matches_f32(self):
+        """Split-word channelizer == exact channelizer within ~1e-5."""
+        from grtpu.ops.pfb import channelize, design_channelizer_taps
+
+        N = 16
+        proto = design_channelizer_taps(N, 8)
+        kp = -(-len(proto) // N)
+        rng = np.random.RandomState(2)
+        n = N * 64
+        x = (rng.randn(n + kp * N)
+             + 1j * rng.randn(n + kp * N)).astype(np.complex64)
+        ya = np.asarray(channelize(jnp.asarray(x), proto, N))
+        yb = np.asarray(channelize(jnp.asarray(x), proto, N,
+                                   precision="bf16x3"))
+        assert np.abs(ya - yb).max() / np.abs(ya).max() < 2e-5
