@@ -379,3 +379,32 @@ class TestScaffold:
             [sys.executable, "-m", "pytest", f"{root}/tests", "-q"],
             capture_output=True, text=True, env=env, timeout=120)
         assert r.returncode == 0, r.stdout + r.stderr
+
+
+class TestGrcWfmExample:
+    def test_yaml_wfm_flowgraph_end_to_end(self, tmp_path):
+        """examples/wfm_rcv.yml: capture -> declarative flowgraph -> WAV
+        with the modulating tone recovered (GRC Generate&Run analog)."""
+        import os
+        import subprocess
+        import sys
+        import wave
+
+        fs, fdev, n = 256e3, 75e3, 8192 * 16
+        t = np.arange(n) / fs
+        msg = 0.5 * np.sin(2 * np.pi * 1000 * t)
+        phi = np.cumsum(2 * np.pi * fdev * msg / fs)
+        np.exp(1j * phi).astype(np.complex64).tofile("/tmp/wfm_capture.cfile")
+        r = subprocess.run(
+            [sys.executable, "-m", "grtpu.grc", "run",
+             "examples/wfm_rcv.yml"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo"}, timeout=300)
+        assert r.returncode == 0, r.stderr
+        w = wave.open("/tmp/wfm_audio.wav")
+        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16) / 32768.0
+        seg = pcm[2000:10000] * np.hanning(8000)
+        fpk = np.fft.rfftfreq(8000, 1 / 32000.0)[
+            np.abs(np.fft.rfft(seg)).argmax()]
+        assert abs(fpk - 1000.0) < 8.0
