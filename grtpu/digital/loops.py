@@ -385,7 +385,10 @@ def _mm_windowed(x, state, sps, gain_omega, gain_mu, omega_relative_limit,
         rel2 = jnp.clip(rel + adv - sps, float(-W + 1), float(W - 1))
         return MMWinState(step - adv, omega2, rel2, samp), samp
 
-    new_state, ys = jax.lax.scan(f, state, rows)
+    # unroll: the per-symbol step is tiny, so scan iteration overhead
+    # dominates; unrolling 16 steps per iteration measures +55% aggregate
+    # on v5e (94 -> 145 Msym/s at 1024 streams) and plateaus beyond
+    new_state, ys = jax.lax.scan(f, state, rows, unroll=16)
     return ys, new_state
 
 
