@@ -91,7 +91,7 @@ def _measure():
     # over a 16x16 grid, perf-data/*.dat row 1); the slope cancels
     # dispatch/readback, the min-over-rounds cancels tunnel jitter.
     slopes = []
-    for tile_rows in (512, 1024):
+    for tile_rows in (512, 1024, 2048):
         g1, g5 = make(1, tile_rows), make(5, tile_rows)
         float(np.asarray(g1(x)))  # compile + warm
         float(np.asarray(g5(x)))
