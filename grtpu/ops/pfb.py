@@ -128,26 +128,48 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
             term = cmm(blk, Ms[j])
             acc = term if acc is None else acc + term
         return acc.astype(jnp.complex64)  # (T, N), channel c at +c*fs/N
-    else:
-        t_ix = np.arange(T)[:, None, None] * step
-        j_ix = np.arange(kp)[None, None, :] * N
-        b_ix = np.arange(N)[None, :, None]
-        idx = hist + t_ix - j_ix - b_ix  # (T, N, kp)
-        w = x[jnp.asarray(idx)]  # (T, N, kp)
-        bk = jnp.asarray(bank)
-        if jnp.iscomplexobj(x):
-            v = (jnp.einsum("tbk,bk->bt", w.real, bk, precision=_HI)
-                 + 1j * jnp.einsum("tbk,bk->bt", w.imag, bk, precision=_HI))
-        else:
-            v = jnp.einsum("tbk,bk->bt", w, bk, precision=_HI)
-    # across branches -> channels; IFFT (x N) so channel c sits at +c*fs/N
-    y = jnp.fft.ifft(v, axis=0) * N  # (N, T)
-    if os_ > 1:
-        # channel c's downconversion phase at output t is -2pi c (t*step)/N
-        c = jnp.arange(N)[:, None]
-        t = jnp.arange(T)[None, :]
-        y = y * jnp.exp(-2j * np.pi * c * t / os_).astype(jnp.complex64)
-    return y.T.astype(jnp.complex64)
+
+    # oversampled: same gather-free row-shift trick generalized to the
+    # step = N/os commutator.  Write branch b = q*step + s; then
+    # v[b, t] needs x[hist + (t - j*os - q)*step - s], i.e. a row-shifted
+    # slice (shift g = j*os + q in [0, kp*os)) of the column-permuted
+    # step-wide reshape, and the branch FIR + IDFT + per-branch weights
+    # fold into kp*os complex (T,step)@(step,N) matmuls.
+    G = kp * os_
+    rows = T + G
+    X3 = jax.lax.dynamic_slice_in_dim(x, 0, rows * step).reshape(rows, step)
+    perm = np.array([(step - s) % step for s in range(step)])
+    P = X3[:, jnp.asarray(perm)]  # P[m, s] = x[m*step + (step-s)%step]
+    mask0 = jnp.asarray(np.arange(step) == 0)
+    dft = np.exp(2j * np.pi * np.outer(np.arange(N), np.arange(N)) / N)
+
+    def cmm(a, m):
+        def rmm(p, q):
+            return jnp.dot(p, q, preferred_element_type=jnp.float32,
+                           precision=_HI)
+        if jnp.iscomplexobj(a):
+            rr = rmm(a.real, m.real) - rmm(a.imag, m.imag)
+            ii = rmm(a.real, m.imag) + rmm(a.imag, m.real)
+            return rr + 1j * ii
+        return rmm(a, m.real) + 1j * rmm(a, m.imag)
+
+    acc = None
+    for j in range(kp):
+        for q in range(os_):
+            g = j * os_ + q
+            b_rows = q * step + np.arange(step)          # branches in slice
+            M = (bank[b_rows, j][:, None]
+                 * dft[b_rows, :]).astype(np.complex64)  # (step, N)
+            a = jax.lax.dynamic_slice_in_dim(P, G - 1 - g, T)
+            a0 = jax.lax.dynamic_slice_in_dim(P, G - g, T)
+            blk = jnp.where(mask0[None, :], a0, a)
+            term = cmm(blk, jnp.asarray(M))
+            acc = term if acc is None else acc + term
+    # channel c's downconversion phase at output t is -2pi c (t*step)/N
+    tw = jnp.exp(-2j * np.pi
+                 * jnp.arange(T)[:, None] * jnp.arange(N)[None, :]
+                 / os_).astype(jnp.complex64)
+    return (acc * tw).astype(jnp.complex64)
 
 
 def synthesize(chans: jnp.ndarray, proto_taps: np.ndarray) -> jnp.ndarray:
