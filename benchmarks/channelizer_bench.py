@@ -59,7 +59,10 @@ def main():
         s = ((t2 - t1) - (t1 - t0)) / 3
         if s > 0:
             slopes.append(s)
-    per = min(slopes)
+        fallback = (t2 - t1) / 3
+    # all-jitter rounds (wedgy tunnel): fall back to the amortized m-big
+    # time so the bench still prints its JSON line
+    per = min(slopes) if slopes else fallback
     msps = n / per / 1e6
     print(json.dumps({
         "metric": "pfb_channelizer_64ch_input_rate",

@@ -58,7 +58,10 @@ def main():
         s = ((t2 - t1) - (t1 - t0)) / 4
         if s > 0:
             slopes.append(s)
-    per = min(slopes)
+        fallback = (t2 - t1) / 4
+    # all-jitter rounds (wedgy tunnel): fall back to the amortized m-big
+    # time so the bench still prints its JSON line
+    per = min(slopes) if slopes else fallback
     msps = C * N / per / 1e6
     print(json.dumps({
         "metric": "dmr_burst_bank_128ch_aggregate",

@@ -293,7 +293,7 @@ class Fsk4Modem:
         if not hasattr(self, "_burst_bank"):
             self._burst_bank = jax.jit(self._burst_bank_fn)
         v = np.asarray(self._burst_bank(jnp.asarray(x)))
-        return np.stack([self._slice(row) for row in v])
+        return self._slice(v)
 
     def _burst_bank_fn(self, x):
         C, N = x.shape
@@ -317,7 +317,8 @@ class Fsk4Modem:
                                       np.float32))
         # sampling phase is constant over a burst: the eye metric over the
         # first <=1k symbols picks it as reliably as the whole burst
-        n_eye = min(n_sym - 1, 1024)
+        # (>=1 so a single-symbol burst still yields a defined metric)
+        n_eye = max(1, min(n_sym - 1, 1024))
         err = jnp.abs(s[:, :n_eye, :, None] - levels).min(-1).mean(1)
         best = jnp.argmin(err, axis=-1)                      # (C,)
         onehot = (jnp.arange(sps) == best[:, None]).astype(jnp.float32)

@@ -165,10 +165,12 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
             blk = jnp.where(mask0[None, :], a0, a)
             term = cmm(blk, jnp.asarray(M))
             acc = term if acc is None else acc + term
-    # channel c's downconversion phase at output t is -2pi c (t*step)/N
-    tw = jnp.exp(-2j * np.pi
-                 * jnp.arange(T)[:, None] * jnp.arange(N)[None, :]
-                 / os_).astype(jnp.complex64)
+    # channel c's downconversion phase at output t is -2pi c (t*step)/N =
+    # -2pi (t c)/os — periodic in (t c) mod os, so reduce BEFORE the float
+    # multiply (t*c overflows f32 integer range past 2^24 samples)
+    tc = (jnp.arange(T)[:, None] % os_) * (jnp.arange(N)[None, :] % os_) % os_
+    tw = jnp.exp(-2j * np.pi * tc.astype(jnp.float32) / os_).astype(
+        jnp.complex64)
     return (acc * tw).astype(jnp.complex64)
 
 

@@ -82,9 +82,10 @@ _README = '''# {name}
 An out-of-tree grtpu extension module (scaffolded by
 ``python -m grtpu.utils.scaffold``).
 
-Run the tests:
+Run the tests (from this directory; add the grtpu checkout to
+PYTHONPATH if grtpu is not installed on sys.path):
 
-    env JAX_PLATFORMS=cpu PYTHONPATH=.:$GRTPU_ROOT python -m pytest tests -q
+    env JAX_PLATFORMS=cpu PYTHONPATH=.:/path/to/grtpu python -m pytest tests -q
 
 Add blocks in ``{name}/blocks.py`` following the Block contract described
 there; wire them into flowgraphs exactly like built-in blocks.

@@ -382,7 +382,7 @@ class TestScaffold:
 
 
 class TestGrcWfmExample:
-    def test_yaml_wfm_flowgraph_end_to_end(self, tmp_path):
+    def test_yaml_wfm_flowgraph_end_to_end(self):
         """examples/wfm_rcv.yml: capture -> declarative flowgraph -> WAV
         with the modulating tone recovered (GRC Generate&Run analog)."""
         import os
@@ -402,8 +402,9 @@ class TestGrcWfmExample:
             env={**os.environ, "JAX_PLATFORMS": "cpu",
                  "PYTHONPATH": "/root/repo"}, timeout=300)
         assert r.returncode == 0, r.stderr
-        w = wave.open("/tmp/wfm_audio.wav")
-        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16) / 32768.0
+        with wave.open("/tmp/wfm_audio.wav") as w:
+            pcm = (np.frombuffer(w.readframes(w.getnframes()), np.int16)
+                   / 32768.0)
         seg = pcm[2000:10000] * np.hanning(8000)
         fpk = np.fft.rfftfreq(8000, 1 / 32000.0)[
             np.abs(np.fft.rfft(seg)).argmax()]
