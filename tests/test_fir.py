@@ -346,3 +346,30 @@ class TestPallasCascade:
         xh = np.concatenate([np.zeros(31, np.float32), x])
         ref = np.asarray(fir_filter(jnp.asarray(xh), jnp.asarray(taps), 1))
         assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+class TestLinearRecurrenceConst:
+    def test_matches_scan_solver(self):
+        import jax
+
+        r = np.random.RandomState(1)
+        for a in (0.728, 0.2, 0.0, 0.95, 0.995):  # last two: scan fallback
+            b = jnp.asarray(r.randn(3, 400).astype(np.float32))
+            y0 = jnp.asarray(r.randn(3).astype(np.float32))
+            y1, l1 = jax.vmap(lambda bb, s: dsp.linear_recurrence(
+                jnp.full(bb.shape, a, jnp.float32), bb, s))(b, y0)
+            y2, l2 = dsp.linear_recurrence_const(a, b, y0)
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                       atol=1e-5, err_msg=f"a={a}")
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       atol=1e-5)
+
+    def test_state_continuity(self):
+        r = np.random.RandomState(2)
+        b = jnp.asarray(r.randn(600).astype(np.float32))
+        y_all, _ = dsp.linear_recurrence_const(0.7, b, jnp.float32(0.0))
+        y1, s = dsp.linear_recurrence_const(0.7, b[:300], jnp.float32(0.0))
+        y2, _ = dsp.linear_recurrence_const(0.7, b[300:], s)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(y1), np.asarray(y2)]),
+            np.asarray(y_all), atol=1e-5)
