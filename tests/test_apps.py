@@ -409,3 +409,59 @@ class TestGrcWfmExample:
         fpk = np.fft.rfftfreq(8000, 1 / 32000.0)[
             np.abs(np.fft.rfft(seg)).argmax()]
         assert abs(fpk - 1000.0) < 8.0
+
+
+class TestStreamServer:
+    def test_udp_in_udp_out_service(self):
+        """examples/stream_server.py: IQ over UDP -> WBFM -> audio over
+        UDP, end-to-end in-process (the production-serving loop)."""
+        import importlib.util
+        import threading
+        import time
+
+        from grtpu.io.udp import UdpSink, UdpSource
+
+        spec = importlib.util.spec_from_file_location(
+            "stream_server", "/root/repo/examples/stream_server.py")
+        srv = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(srv)
+
+        in_port, out_port = 47733, 47734
+        fs, fdev, chunk = 64e3, 15e3, 2048
+        n = chunk * 6
+        t = np.arange(n) / fs
+        msg = 0.4 * np.sin(2 * np.pi * 400 * t)
+        iq = np.exp(1j * np.cumsum(2 * np.pi * fdev * msg / fs)).astype(
+            np.complex64)
+
+        audio_rx = UdpSource("127.0.0.1", out_port, np.float32, timeout=3.0)
+        result = {}
+
+        def run_server():
+            result["counts"] = srv.serve(
+                in_port, "127.0.0.1", out_port, quad_rate=fs,
+                audio_decim=4, chunk=chunk, in_host="127.0.0.1")
+
+        th = threading.Thread(target=run_server)
+        th.start()
+        time.sleep(1.0)  # let the server bind + compile lazily on feed
+        tx = UdpSink("127.0.0.1", in_port, np.complex64)
+        tx.write_items(iq)
+        tx.close()  # zero-length datagram ends the service
+        got = []
+        while True:
+            a = audio_rx.read_items(chunk // 4)
+            if a is None:
+                break
+            got.append(a)
+        th.join(timeout=60)
+        audio_rx.close()
+        assert not th.is_alive()
+        audio = np.concatenate(got) if got else np.zeros(0)
+        assert result["counts"][0] == n
+        assert len(audio) >= n // 4 - chunk
+        # recovered 400 Hz tone
+        seg = audio[len(audio) // 4:][:4096]
+        spec_mag = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        fpk = np.fft.rfftfreq(len(seg), 4 / fs)[spec_mag.argmax()]
+        assert abs(fpk - 400.0) < 20.0
