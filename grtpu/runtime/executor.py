@@ -168,16 +168,22 @@ class StreamExecutor:
 
     # ------------------------------------------------------------------ state
     def _init_state(self):
-        block_states = {str(b.uid): b.init_state() for b in self.order}
-        tails = {}
-        for b in self.order:
-            if b.history > 1:
-                for i, e in self.flat.upstream_of(b).items():
-                    port = b.in_ports[i]
-                    tails[_edge_key(e)] = jnp.zeros(
-                        port.chunk_shape(b.history - 1), port.dtype
-                    )
-        self.state = {"blocks": block_states, "tails": tails}
+        def make():
+            block_states = {str(b.uid): b.init_state() for b in self.order}
+            tails = {}
+            for b in self.order:
+                if b.history > 1:
+                    for i, e in self.flat.upstream_of(b).items():
+                        port = b.in_ports[i]
+                        tails[_edge_key(e)] = jnp.zeros(
+                            port.chunk_shape(b.history - 1), port.dtype
+                        )
+            return {"blocks": block_states, "tails": tails}
+
+        # built INSIDE one jit: eagerly-created complex/int zeros take the
+        # host-constant transfer path, which some TPU transports (axon)
+        # don't implement — jit-produced arrays stay device-native
+        self.state = jax.jit(make)()
 
     # ------------------------------------------------------------------ step
     def _build_step(self, donate: bool):
