@@ -137,7 +137,8 @@ class PfbInterpolator(Block):
 
 # --------------------------------------------------------------- clock sync
 def pfb_clock_sync(x: jnp.ndarray, state, sps: float, taps: np.ndarray,
-                   nfilts: int, loop_bw: float, max_dev: float = 1.5):
+                   nfilts: int, loop_bw: float, max_dev: float = 1.5,
+                   gains=None, with_diag: bool = False):
     """gr_pfb_clock_sync_ccf: timing recovery selecting among nfilts
     phase-shifted matched filters, 2nd-order loop on (d_k, d_rate).
 
@@ -158,7 +159,10 @@ def pfb_clock_sync(x: jnp.ndarray, state, sps: float, taps: np.ndarray,
     kp = bank.shape[1]
     bj, dj = jnp.asarray(bank), jnp.asarray(dbank)
     n_in = x.shape[0]
-    alpha, beta = dsp.control_loop_gains(loop_bw)
+    # the reference's 3.5 API takes (alpha, beta) directly; later versions
+    # derive them from a loop bandwidth (gri_control_loop) -- accept both
+    alpha, beta = gains if gains is not None else \
+        dsp.control_loop_gains(loop_bw)
     max_out = int(np.ceil(n_in / (sps * 0.95)))
 
     def f(carry, _):
@@ -180,10 +184,17 @@ def pfb_clock_sync(x: jnp.ndarray, state, sps: float, taps: np.ndarray,
         newc = (k3, rate_f2, base2)
         outc = jax.tree_util.tree_map(
             lambda a, b: jnp.where(valid, a, b), newc, carry)
-        return outc, (out.astype(x.dtype), valid)
+        return outc, (out.astype(x.dtype), valid,
+                      err.astype(jnp.float32), rate_f2.astype(jnp.float32),
+                      k3.astype(jnp.float32))
 
-    carry, (ys, valids) = jax.lax.scan(f, state, None, length=max_out)
-    return ys, valids.sum().astype(jnp.int32), carry
+    carry, (ys, valids, errs, rates, ks) = jax.lax.scan(
+        f, state, None, length=max_out)
+    n_valid = valids.sum().astype(jnp.int32)
+    if with_diag:
+        # the reference block's optional outputs 1..3 (err, rate, phase)
+        return (ys, errs, rates, ks), n_valid, carry
+    return ys, n_valid, carry
 
 
 def pfb_clock_sync_init(nfilts: int):
@@ -193,31 +204,60 @@ def pfb_clock_sync_init(nfilts: int):
 
 
 class PfbClockSync(Block):
-    """gr_pfb_clock_sync_ccf as a variable-rate block: (y_padded, n_valid)
-    mask-and-compact outputs around the pfb_clock_sync loop (compose in
-    models; see Fsk4Modem/GenericModem for the idiom)."""
+    """gr_pfb_clock_sync_ccf as a first-class variable-rate graph block.
+
+    Returns ``(y_padded, n_valid)`` with the valid symbols a contiguous
+    prefix; the executor compacts them through a carried device FIFO
+    (StreamExecutor variable-rate machinery).  Chunk-boundary exactness:
+    the carried sample pointer freezes at the last *emitted* symbol's next
+    position, which can trail the chunk boundary by up to kp + sps + 1
+    samples — ``history`` covers that span so the deferred window stays
+    readable after rebasing, and the scan's freeze-at-invalid semantics
+    recompute the deferred symbol from identical state on the next chunk.
+    Chunked graph execution is therefore sample-identical to one
+    full-stream run (tested in tests/test_vr_graph.py).  Matches
+    gr_pfb_clock_sync_ccf general_work's variable consume (SURVEY.md §2.3)."""
 
     variable_rate = True
 
     def __init__(self, sps: float, loop_bw: float, taps, nfilts: int = 32,
-                 max_dev: float = 1.5, name=None):
+                 max_dev: float = 1.5, gains=None, init_phase=None,
+                 diag: bool = False, name=None):
         self.in_ports = (Port(jnp.complex64),)
-        self.out_ports = (Port(jnp.complex64),)
+        # diag adds the reference's optional err/rate/phase symbol-rate
+        # outputs (gr_pfb_clock_sync_ccf ports 1..3)
+        self.out_ports = ((Port(jnp.complex64),)
+                          + ((Port(jnp.float32),) * 3 if diag else ()))
+        self.diag = diag
+        self.taps = np.asarray(taps)
+        kp = -(-len(self.taps) // nfilts)
+        self.history = kp + int(np.ceil(sps)) + 2
         super().__init__(name)
         self.sps, self.loop_bw = float(sps), float(loop_bw)
-        self.taps = np.asarray(taps)
         self.nfilts, self.max_dev = int(nfilts), float(max_dev)
+        self.gains = gains
+        self.init_phase = nfilts / 2.0 if init_phase is None else init_phase
+
+    @property
+    def nominal_rate(self):
+        return 1.0 / self.sps
+
+    def max_out_for(self, n_delivered: int) -> int:
+        return int(np.ceil(n_delivered / (self.sps * 0.95)))
 
     def init_state(self):
-        return pfb_clock_sync_init(self.nfilts)
+        return (jnp.asarray(self.init_phase, jnp.float32),
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32))
 
     def apply(self, state, x):
         ys, n_valid, st = pfb_clock_sync(
             x, state, self.sps, self.taps, self.nfilts, self.loop_bw,
-            self.max_dev)
-        # rebase the sample pointer for the next chunk
+            self.max_dev, self.gains, with_diag=self.diag)
+        # rebase the sample pointer against the fresh items consumed; the
+        # history halo keeps the deferred window readable next chunk
         k, rate_f, base = st
-        st = (k, rate_f, base - x.shape[0])
+        st = (k, rate_f, base - (x.shape[0] - (self.history - 1)))
         return st, (ys, n_valid)
 
 

@@ -1,9 +1,11 @@
 """Digital block wrappers for the graph runtime.
 
 Static-rate wrappers over grtpu.digital.loops: CostasLoop, FllBandEdge,
-BinarySlicer, DiffEncoder/DiffDecoder/DiffPhasor, ConstellationDecoder.
-Variable-rate clock recovery is exposed through grtpu.digital.modems
-(mask-and-compact) rather than as a stream block — SURVEY.md §7 hard part #2.
+BinarySlicer, DiffEncoder/DiffDecoder/DiffPhasor, ConstellationDecoder —
+plus first-class variable-rate clock recovery (ClockRecoveryMM{CC,FF}),
+which the StreamExecutor runs through its device-FIFO emission machinery
+(the analog of digital_clock_recovery_mm_cc.cc's variable consume,
+lib/digital_clock_recovery_mm_cc.cc:160-217).
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ import jax.numpy as jnp
 from grtpu.runtime.block import Block, Port
 from grtpu.digital import loops
 from grtpu.digital.constellation import Constellation
+from grtpu.ops.mmse_interp import NTAPS
 
 
 class CostasLoop(Block):
@@ -179,6 +182,75 @@ class BytesToSyms(Block):
         shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
         bits = (x[:, None].astype(jnp.int32) >> shifts[None, :]) & 1
         return state, (bits.reshape(-1) * 2 - 1).astype(jnp.float32)
+
+
+class _ClockRecoveryMMBase(Block):
+    """Shared machinery for the M&M timing recovery graph blocks.
+
+    Variable-rate first-class citizen: apply returns (y_padded, n_valid)
+    with the valid symbols a contiguous prefix; the executor FIFOs them to
+    the downstream segment.  Chunk-boundary exactness mirrors PfbClockSync:
+    the frozen pointer trails the boundary by at most NTAPS + omega + 2
+    samples, covered by ``history``, and the freeze-at-invalid scan
+    recomputes the deferred symbol identically next chunk.
+    Analog: digital_clock_recovery_mm_{cc,ff}.cc general_work
+    (variable consume at :160-217)."""
+
+    variable_rate = True
+    _complex = False
+
+    def __init__(self, omega: float, gain_omega: float, mu: float,
+                 gain_mu: float, omega_relative_limit: float = 0.001,
+                 name=None):
+        dt = jnp.complex64 if self._complex else jnp.float32
+        self.in_ports = (Port(dt),)
+        self.out_ports = (Port(dt),)
+        self.history = NTAPS + int(np.ceil(omega)) + 3
+        super().__init__(name)
+        self.omega = float(omega)
+        self.gain_omega, self.mu0, self.gain_mu = (float(gain_omega),
+                                                   float(mu), float(gain_mu))
+        self.omega_relative_limit = float(omega_relative_limit)
+
+    @property
+    def nominal_rate(self):
+        return 1.0 / self.omega
+
+    def max_out_for(self, n_delivered: int) -> int:
+        return int(np.ceil(n_delivered / max(
+            self.omega * (1 - self.omega_relative_limit), 1.0)))
+
+    def init_state(self):
+        return loops.mm_init_state(self.omega, self.mu0,
+                                   complex_mode=self._complex)
+
+    def _kernel(self, x, state):
+        raise NotImplementedError
+
+    def apply(self, state, x):
+        ys, n_valid, st = self._kernel(x, state)
+        st = loops.rebase_mm_state(st, x.shape[0] - (self.history - 1))
+        return st, (ys, n_valid)
+
+
+class ClockRecoveryMMFF(_ClockRecoveryMMBase):
+    """digital_clock_recovery_mm_ff as a variable-rate graph block."""
+
+    def _kernel(self, x, state):
+        return loops.clock_recovery_mm_ff(
+            x, state, self.omega, self.gain_omega, self.gain_mu,
+            self.omega_relative_limit)
+
+
+class ClockRecoveryMMCC(_ClockRecoveryMMBase):
+    """digital_clock_recovery_mm_cc as a variable-rate graph block."""
+
+    _complex = True
+
+    def _kernel(self, x, state):
+        return loops.clock_recovery_mm_cc(
+            x, state, self.omega, self.gain_omega, self.gain_mu,
+            self.omega_relative_limit)
 
 
 class MpskReceiver(Block):

@@ -117,8 +117,15 @@ class Block:
         gr_sync_decimator / gr_sync_interpolator.
       * ``variable_rate``: True for data-dependent production (clock recovery,
         arbitrary resampler).  Such blocks return ``(y_padded, n_valid)``
-        pairs and are composed via the mask-and-compact idiom in
-        ``grtpu.models`` rather than through static graph edges
+        where the valid items are a contiguous prefix of ``y_padded`` (length
+        ``max_out_for(n_delivered)``) and ``n_valid`` is a traced int32 count.
+        The executor makes these first-class graph citizens: the padded
+        output is compacted into a carried device FIFO and downstream blocks
+        run on fixed-size emissions drained from it inside the jitted step
+        (see StreamExecutor docs) — the TPU-native replacement for the
+        reference scheduler's variable ``consume()`` demand negotiation
+        (gr_block_executor.cc:302-350).  They may also still be composed
+        by hand with the mask-and-compact idiom in ``grtpu.models``
         (SURVEY.md §7 "hard parts" #2).
 
     and implement ``init_state()`` and ``apply(state, *inputs)``.
@@ -134,6 +141,11 @@ class Block:
     variable_rate: bool = False
     # Tag propagation policy, analog of gr_block.h:68-72 TPP_*.
     tag_propagation: str = "all_to_all"  # "dont" | "all_to_all" | "one_to_one"
+    # True for blocks that *emit* tags during work (gr_burst_tagger,
+    # correlate_access_code_tag): the executor captures the block's in/out
+    # chunks each step and calls make_tags on the host (tags are a
+    # control-plane construct; see grtpu.runtime.tags).
+    emits_tags: bool = False
 
     _instance_counter = [0]
 
@@ -166,8 +178,39 @@ class Block:
     # -- introspection ------------------------------------------------------
     @property
     def relative_rate(self):
-        """Output items per input item (gr_block.h:182-187)."""
+        """Output items per input item (gr_block.h:182-187).  For
+        variable-rate blocks this is the *nominal* estimate, the analog of
+        the reference's set_relative_rate hint."""
+        if self.variable_rate:
+            return self.nominal_rate
         return self.interp / self.decim
+
+    @property
+    def nominal_rate(self) -> float:
+        """Expected output items per fresh input item.  Variable-rate blocks
+        override (e.g. 1/sps for clock recovery); used by the executor to
+        size FIFO emissions and by host-side tag scaling."""
+        return self.interp / self.decim
+
+    def max_out_for(self, n_delivered: int) -> int:
+        """Static bound on items produced from one delivered chunk of
+        ``n_delivered`` items (including the ``history - 1`` halo).
+        Variable-rate blocks MUST override this with the exact padded length
+        their ``apply`` returns; it is a throughput bound, not a correctness
+        bound — production beyond it is deferred to the next chunk via the
+        carried sample pointer."""
+        return (n_delivered - (self.history - 1)) // self.decim * self.interp
+
+    def make_tags(self, ins, outs, start_in: int, start_out: int):
+        """Host-side tag synthesis for ``emits_tags`` blocks: called once
+        per time-block with this block's input chunks (including the
+        history halo) and output chunks as host arrays, plus the absolute
+        stream offsets of the first fresh input/output item.  Returns a
+        list of :class:`grtpu.runtime.tags.Tag` with *output-stream*
+        absolute offsets; the executor injects them onto the downstream
+        edges.  The analog of calling add_item_tag inside general_work
+        (gr_burst_tagger.cc work)."""
+        return []
 
     def noutput_for(self, n_in: int) -> int:
         if n_in % self.decim:

@@ -4,7 +4,10 @@ Reference machinery being replaced (not ported):
   * gr_scheduler_tpb / gr_tpb_thread_body — one OS thread per block blocking
     on buffer condvars (gr_scheduler_tpb.cc:53-78, gr_tpb_thread_body.cc:41-106).
   * gr_block_executor::run_one_iteration — per-block demand computation,
-    forecast, general_work dispatch (gr_block_executor.cc:181-409).
+    forecast, general_work dispatch (gr_block_executor.cc:181-409), including
+    the variable-consumption demand negotiation for blocks like clock
+    recovery (gr_block_executor.cc:302-350,
+    digital_clock_recovery_mm_cc.cc:160-217).
   * gr_buffer / gr_vmcircbuf — double-mapped circular buffers with reader
     history preload (gr_buffer.cc:110-213, gr_flat_flowgraph.cc:124-152).
 
@@ -16,9 +19,24 @@ SSA values in VMEM/HBM; history preload becomes explicit carried tail state
 (the halo).  Rates are propagated statically at compile time, replacing
 ``forecast()``: every edge's per-step item count is known before tracing.
 
-The executor state — all block states plus all edge tails — is one pytree:
-checkpointable (SURVEY.md §5.4 notes the reference has no checkpointing) and
-shardable with jax.sharding for multi-chip execution (grtpu.parallel).
+Variable-rate blocks (clock recovery, pfb clock sync, arbitrary resamplers)
+are first-class graph citizens: a block with ``variable_rate=True`` returns
+``(y_padded, n_valid)`` with the valid items a contiguous prefix.  The
+executor compacts those into a carried device FIFO (capacity
+``n_emit - 1 + max_out``) and drains fixed-size ``n_emit`` *emissions*
+through the entire downstream sub-graph inside a ``lax.while_loop`` — all
+within the same jitted step.  Downstream blocks are unmodified: they always
+see exactly ``n_emit`` real items.  This replaces the reference scheduler's
+runtime demand negotiation with a static-shape producer/consumer queue whose
+occupancy is the only dynamic quantity.  Outputs downstream of a
+variable-rate boundary surface as (max_emissions, n, ...) emission buffers
+plus a per-step emission count; ``run()``/``stream()`` compact them on the
+host.
+
+The executor state — all block states, edge tails and VR FIFOs — is one
+pytree: checkpointable (SURVEY.md §5.4 notes the reference has no
+checkpointing) and shardable with jax.sharding for multi-chip execution
+(grtpu.parallel).
 """
 
 from __future__ import annotations
@@ -61,38 +79,94 @@ class StreamExecutor:
         block).  Must be a multiple of every decimation chain; use
         :meth:`required_multiple` to query.
       root_chunks: optional per-root overrides ``{pad_or_block: n}``.
+      vr_chunks: optional per-variable-rate-block emission size overrides
+        ``{block: n_emit}`` (default: the expected per-step production,
+        snapped to the downstream segment's decimation multiple).
       donate: donate the state buffers to the jitted step (in-place update).
     """
 
     def __init__(
         self,
         graph: Graph | FlatGraph,
-        chunk_size: int = 4096,
+        chunk_size: Optional[int] = 4096,
         root_chunks: Optional[Dict[Any, int]] = None,
+        vr_chunks: Optional[Dict[Any, int]] = None,
         donate: bool = True,
         debug_taps: bool = False,
     ):
         self.flat = graph.flatten() if isinstance(graph, Graph) else graph
-        self.chunk_size = int(chunk_size)
         self.order = self.flat.topological_order()
         self.debug_taps = debug_taps
         self.edge_data: Dict[str, Any] = {}
-        self._compute_rates(root_chunks or {})
+        self._compute_topology()
+        if chunk_size is None:
+            # auto: smallest multiple of the decimation requirement >= 4096
+            m = self.required_multiple()
+            chunk_size = -(-4096 // m) * m
+        self.chunk_size = int(chunk_size)
+        self._compute_rates(root_chunks or {}, vr_chunks or {})
         self._init_state()
         self._build_step(donate and not debug_taps)
         # host-side stream-tag store per edge key, and absolute item counters
         self._tags: Dict[str, List[Tag]] = {k: [] for k in self._edge_keys}
         self.sink_tags: Dict[str, List[Tag]] = {}
+        self.pad_tags: Dict[int, List[Tag]] = {}
         self.nitems = {b.name: 0 for b in self.order}  # items consumed so far
+        self.nitems_out = {b.name: 0 for b in self.order}  # items produced
+        self._vr_counts_accum: Dict[str, List[int]] = {
+            v.name: [] for v in self.vr_blocks
+        }
 
     # ------------------------------------------------------------------ rates
-    def _compute_rates(self, root_chunks):
+    def _compute_topology(self):
+        """Ownership/depth topology: which variable-rate block's drain loop
+        each block runs in (None = top level), analogous to which scheduler
+        "domain" it belongs to."""
+        self.block_owner: Dict[int, Optional[Block]] = {}
+        self.block_depth: Dict[int, int] = {}
+        self.vr_blocks: List[Block] = []
+        for b in self.order:
+            ups = self.flat.upstream_of(b)
+            if not ups:
+                owner, depth = None, 0
+            else:
+                owners, depths = set(), set()
+                for e in ups.values():
+                    src = e.src.block
+                    if isinstance(src, Pad):
+                        owners.add(None)
+                        depths.add(0)
+                    elif src.variable_rate:
+                        owners.add(src)
+                        depths.add(self.block_depth[src.uid] + 1)
+                    else:
+                        owners.add(self.block_owner[src.uid])
+                        depths.add(self.block_depth[src.uid])
+                if len(owners) != 1 or len(depths) != 1:
+                    raise ValueError(
+                        f"{b.name}: inputs join streams from different "
+                        f"variable-rate domains; such joins cannot be "
+                        f"rate-aligned (reference has the same restriction "
+                        f"implicitly via scheduler deadlock)"
+                    )
+                owner, depth = owners.pop(), depths.pop()
+            self.block_owner[b.uid] = owner
+            self.block_depth[b.uid] = depth
+            if b.variable_rate:
+                # multi-output VR blocks (e.g. pfb_clock_sync's data/err/
+                # rate/phase) produce all ports in lockstep: one shared
+                # valid count, one FIFO buffer per port.
+                self.vr_blocks.append(b)
+
+    def _compute_rates(self, root_chunks, vr_chunks):
         """Static rate propagation, replacing gr_block::forecast().
 
         Every edge gets a per-step item count; every block gets its per-step
         input count n_in.  Mirrors the arithmetic of
         gr_flat_flowgraph.cc:89-122 (buffer sizing vs decimation) but exactly,
-        at compile time.
+        at compile time.  Blocks downstream of a variable-rate block get
+        per-*emission* counts instead, derived from that block's chosen
+        emission size.
         """
         self.edge_items: Dict[str, int] = {}
         self.block_nin: Dict[int, int] = {}
@@ -100,8 +174,22 @@ class StreamExecutor:
         for pad in self.flat.in_pads:
             pad_chunk[id(pad)] = int(root_chunks.get(pad, self.chunk_size))
 
+        # per-block input counts, choosing each VR block's
+        # emission size from its sub-segment's decimation multiple.
+        self.vr_emit: Dict[int, int] = {}     # vr uid -> items per emission
+        self.vr_maxout: Dict[int, int] = {}   # vr uid -> padded apply output
+        self.vr_cap: Dict[int, int] = {}      # vr uid -> fifo capacity
+        self.vr_emax: Dict[int, int] = {}     # vr uid -> per-step emission bound
+
+        def _owner_chunk(owner: Optional[Block]) -> int:
+            """Items entering the segment per execution of that segment."""
+            if owner is None:
+                return self.chunk_size
+            return self.vr_emit[owner.uid]
+
         for b in self.order:
             ups = self.flat.upstream_of(b)
+            owner = self.block_owner[b.uid]
             if not ups:  # source block
                 n_in = int(root_chunks.get(b, self.chunk_size)) * b.decim // b.interp
             else:
@@ -125,9 +213,42 @@ class StreamExecutor:
                     f"{self.required_multiple()}"
                 )
             self.block_nin[b.uid] = n_in
-            n_out = n_in // b.decim * b.interp
+            if b.variable_rate:
+                delivered = n_in + b.history - 1
+                max_out = int(b.max_out_for(delivered))
+                sub_mult = self._segment_multiple(b)
+                if b in (vr_chunks or {}):
+                    n_emit = int(vr_chunks[b])
+                    if n_emit % sub_mult:
+                        raise ValueError(
+                            f"{b.name}: vr_chunks emission size {n_emit} not "
+                            f"a multiple of downstream requirement {sub_mult}"
+                        )
+                else:
+                    expected = n_in * float(b.nominal_rate)
+                    n_emit = max(sub_mult,
+                                 int(expected // sub_mult) * sub_mult)
+                cap = n_emit - 1 + max_out
+                self.vr_emit[b.uid] = n_emit
+                self.vr_maxout[b.uid] = max_out
+                self.vr_cap[b.uid] = cap
+                self.vr_emax[b.uid] = cap // n_emit
+                n_out = n_emit
+            else:
+                n_out = n_in // b.decim * b.interp
             for e in self.flat.downstream_of(b):
                 self.edge_items[_edge_key(e)] = n_out
+
+        # total emission-buffer rows for a segment = product of emission
+        # bounds down the owner chain (nested VR drains multiply).
+        self.vr_total_rows: Dict[int, int] = {}
+        for v in self.vr_blocks:
+            rows = self.vr_emax[v.uid]
+            o = self.block_owner[v.uid]
+            while o is not None:
+                rows *= self.vr_emax[o.uid]
+                o = self.block_owner[o.uid]
+            self.vr_total_rows[v.uid] = rows
 
         # output pads
         self.out_pad_edges: List[Edge] = []
@@ -141,30 +262,47 @@ class StreamExecutor:
             _edge_key(e) for e in self.flat.edges if isinstance(e.dst.block, Block)
         ]
 
-    def required_multiple(self) -> int:
-        """LCM of decimation requirements along all paths from the roots."""
-        # For each block, chunk at the roots must make n_in divisible by decim.
-        # Walk paths accumulating rate fractions.
+    def _edge_owner(self, e: Edge) -> Optional[Block]:
+        src = e.src.block
+        if isinstance(src, Pad):
+            return None
+        if src.variable_rate:
+            return src
+        return self.block_owner[src.uid]
+
+    def _segment_multiple(self, owner: Optional[Block]) -> int:
+        """Chunk-size divisibility requirement for the blocks directly owned
+        by ``owner`` (None = the top-level segment): exact denominator-based
+        derivation.  For input count C*r (r the cumulative rate fraction)
+        to be a positive multiple of decim, C must be a multiple of
+        decim*den(r)/gcd(num(r), decim*den(r))."""
         mult = 1
         rate_to: Dict[int, Fraction] = {}
         for b in self.order:
+            if self.block_owner[b.uid] is not owner:
+                continue
             ups = self.flat.upstream_of(b)
-            if not ups:
-                r = Fraction(1)
-            else:
-                rs = {
-                    rate_to[e.src.block.uid]
-                    if isinstance(e.src.block, Block)
-                    else Fraction(1)
-                    for e in ups.values()
-                }
-                r = rs.pop()
-            # n_in = chunk * r must be divisible by decim: chunk multiple of
-            # decim / gcd stuff — conservatively lcm over denominator*decim.
-            need = (Fraction(b.decim) / r).limit_denominator()
-            mult = math.lcm(mult, max(1, int(math.ceil(need))))
+            srcs = [e.src.block for e in ups.values()]
+            rs = set()
+            for s in srcs:
+                if isinstance(s, Pad) or (isinstance(s, Block) and s.variable_rate):
+                    rs.add(Fraction(1))
+                elif s.uid in rate_to:
+                    rs.add(rate_to[s.uid])
+            r = rs.pop() if rs else Fraction(1)
+            need = (b.decim * r.denominator) // math.gcd(
+                r.numerator, b.decim * r.denominator
+            )
+            mult = math.lcm(mult, need)
             rate_to[b.uid] = r * Fraction(b.interp, b.decim)
         return mult
+
+    def required_multiple(self) -> int:
+        """Exact chunk-size divisibility requirement of the top-level
+        segment (decimation chains up to the first variable-rate boundary;
+        segments behind a boundary constrain the executor-chosen emission
+        size instead)."""
+        return self._segment_multiple(None)
 
     # ------------------------------------------------------------------ state
     def _init_state(self):
@@ -178,7 +316,15 @@ class StreamExecutor:
                         tails[_edge_key(e)] = jnp.zeros(
                             port.chunk_shape(b.history - 1), port.dtype
                         )
-            return {"blocks": block_states, "tails": tails}
+            fifos = {}
+            for v in self.vr_blocks:
+                bufs = tuple(
+                    jnp.zeros(port.chunk_shape(self.vr_cap[v.uid]),
+                              port.dtype)
+                    for port in v.out_ports
+                )
+                fifos[v.name] = (bufs, jnp.zeros((), jnp.int32))
+            return {"blocks": block_states, "tails": tails, "fifo": fifos}
 
         # built INSIDE one jit: eagerly-created complex/int zeros take the
         # host-constant transfer path, which some TPU transports (axon)
@@ -189,60 +335,227 @@ class StreamExecutor:
     def _build_step(self, donate: bool):
         flat = self.flat
         order = self.order
-        in_pads = flat.in_pads
         out_pad_edges = self.out_pad_edges
-        sinks = [b for b in order if not b.out_ports]
+        has_vr = bool(self.vr_blocks)
+        # emission-buffer specs: pads and sink inputs fed from inside a VR
+        # segment surface as (rows, items, ...) buffers + a per-VR counter.
+        emit_specs: Dict[str, tuple] = {}  # key -> (rows, items, port, owner)
+        self._pad_emit_key: Dict[int, str] = {}
+        self._sink_emit_key: Dict[tuple, str] = {}
+        for i, e in enumerate(out_pad_edges):
+            o = self._edge_owner(e)
+            if o is not None:
+                key = f"pad{i}"
+                port = self.flat.out_pads[i].port
+                emit_specs[key] = (self.vr_total_rows[o.uid],
+                                   self.edge_items[_edge_key(e)], port, o)
+                self._pad_emit_key[i] = key
+        for b in order:
+            if b.out_ports or not b.in_ports:
+                continue
+            if self.block_owner[b.uid] is not None:
+                o = self.block_owner[b.uid]
+                for j, e in self.flat.upstream_of(b).items():
+                    key = f"sink:{b.name}:{j}"
+                    emit_specs[key] = (self.vr_total_rows[o.uid],
+                                       self.edge_items[_edge_key(e)],
+                                       b.in_ports[j], o)
+                    self._sink_emit_key[(b.name, j)] = key
+        self._emit_specs = emit_specs
 
-        def step(state, ext_inputs):
-            block_states = dict(state["blocks"])
-            tails = dict(state["tails"])
-            edge_vals: Dict[str, Any] = {}
+        def upd(d, k, v):
+            d2 = dict(d)
+            d2[k] = v
+            return d2
 
-            def value_of(e: Edge):
-                src = e.src.block
-                if isinstance(src, Pad):
-                    return ext_inputs[src.index]
-                return edge_vals[_edge_key(e)]
-
-            sink_caps = {}
+        def run_segment(owner: Optional[Block], ctx, edge_vals, ext_inputs,
+                        caps):
+            """Run all blocks owned by ``owner`` in topo order, threading
+            the mutable context (block states, tails, fifos, emission
+            buffers, emission counters) functionally.  ``edge_vals`` holds
+            this segment's local SSA edge values."""
             for b in order:
+                if self.block_owner[b.uid] is not owner:
+                    continue
                 ups = flat.upstream_of(b)
                 ins = []
                 for i in range(len(b.in_ports)):
                     e = ups[i]
-                    v = value_of(e)
+                    src = e.src.block
+                    if isinstance(src, Pad):
+                        v = ext_inputs[src.index]
+                    else:
+                        v = edge_vals[_edge_key(e)]
                     if b.history > 1:
                         k = _edge_key(e)
-                        full = jnp.concatenate([tails[k], v], axis=0)
-                        tails[k] = full[full.shape[0] - (b.history - 1):]
+                        full = jnp.concatenate([ctx["tails"][k], v], axis=0)
+                        ctx = upd(ctx, "tails", upd(
+                            ctx["tails"], k,
+                            full[full.shape[0] - (b.history - 1):]))
                         v = full
                     ins.append(v)
                 if not b.in_ports:
-                    # Source block: apply(state, n) with static item count.
                     n_out = self.block_nin[b.uid] // b.decim * b.interp
-                    new_s, outs = self._apply_source(b, block_states[str(b.uid)], n_out)
+                    new_s, outs = self._apply_source(
+                        b, ctx["blocks"][str(b.uid)], n_out)
+                elif b.variable_rate:
+                    res = b.apply(ctx["blocks"][str(b.uid)], *ins)
+                    new_s, vr_out = res
+                    if not (isinstance(vr_out, (tuple, list)) and len(vr_out) == 2):
+                        raise ValueError(
+                            f"{b.name}: variable-rate apply must return "
+                            f"(state, (y_padded, n_valid))")
+                    outs = None
                 else:
-                    new_s, outs = self._apply_block(b, block_states[str(b.uid)], ins)
-                block_states[str(b.uid)] = new_s
+                    new_s, outs = self._apply_block(
+                        b, ctx["blocks"][str(b.uid)], ins)
+                ctx = upd(ctx, "blocks", upd(ctx["blocks"], str(b.uid), new_s))
+                if b.emits_tags and owner is None and outs is not None:
+                    # host-side tag synthesis taps (gr_burst_tagger-style
+                    # add_item_tag): return this block's in/out chunks
+                    caps["__tagsrc__" + b.name] = (tuple(ins), tuple(outs))
                 if not b.out_ports and ins:
-                    sink_caps[b.name] = tuple(ins)
-                for e in flat.downstream_of(b):
-                    edge_vals.setdefault(_edge_key(e), None)
-                for e in [e for e in flat.edges if e.src.block is b]:
-                    edge_vals[_edge_key(e)] = outs[e.src.port]
+                    if owner is None:
+                        caps[b.name] = tuple(ins)
+                    else:
+                        # write each captured input as one emission row
+                        row = ctx["ecnt"][owner.name]
+                        em = dict(ctx["emit"])
+                        for j, v in enumerate(ins):
+                            key = self._sink_emit_key[(b.name, j)]
+                            em[key] = jax.lax.dynamic_update_index_in_dim(
+                                em[key], v, row, 0)
+                        ctx = upd(ctx, "emit", em)
+                if b.variable_rate:
+                    ctx = push_and_drain(b, ctx, vr_out, ext_inputs, caps)
+                else:
+                    for e in [e for e in flat.edges if e.src.block is b]:
+                        edge_vals[_edge_key(e)] = outs[e.src.port]
+            return ctx, edge_vals
 
-            pad_outs = tuple(value_of(e) for e in out_pad_edges)
-            new_state = {"blocks": block_states, "tails": tails}
+        def write_pad_rows(owner: Block, ctx, edge_vals):
+            """Emit rows for out pads fed from inside this segment."""
+            em = dict(ctx["emit"])
+            wrote = False
+            for i, e in enumerate(out_pad_edges):
+                if self._edge_owner(e) is None:
+                    continue
+                key = self._pad_emit_key[i]
+                if emit_specs[key][3] is not owner:
+                    continue
+                k = _edge_key(e)
+                if k in edge_vals:
+                    row = ctx["ecnt"][owner.name]
+                    em[key] = jax.lax.dynamic_update_index_in_dim(
+                        em[key], edge_vals[k], row, 0)
+                    wrote = True
+            return upd(ctx, "emit", em) if wrote else ctx
+
+        def push_and_drain(v: Block, ctx, vr_out, ext_inputs, caps):
+            """Compact (y_padded, n_valid) into v's FIFO, then drain full
+            n_emit emissions through v's downstream segment in a
+            lax.while_loop.  Valid items are a contiguous prefix, so writing
+            the whole padded array at the fill pointer and advancing by
+            n_valid leaves the garbage suffix to be overwritten by the next
+            push — no per-item masking needed.  Multi-output VR blocks keep
+            one buffer per port advancing in lockstep on a shared count."""
+            n_emit = self.vr_emit[v.uid]
+            ys, n_valid = vr_out
+            if not isinstance(ys, (tuple, list)):
+                ys = (ys,)
+            if len(ys) != len(v.out_ports):
+                raise ValueError(
+                    f"{v.name}: variable-rate apply returned {len(ys)} "
+                    f"padded outputs, declared {len(v.out_ports)} ports")
+            bufs, fill = ctx["fifo"][v.name]
+            bufs = tuple(
+                jax.lax.dynamic_update_slice_in_dim(
+                    buf, y.astype(buf.dtype), fill, 0)
+                for buf, y in zip(bufs, ys))
+            fill = fill + n_valid.astype(jnp.int32)
+            ctx = upd(ctx, "fifo", upd(ctx["fifo"], v.name, (bufs, fill)))
+
+            down_edges = flat.downstream_of(v)
+
+            def cond_fn(c):
+                return c["fifo"][v.name][1] >= n_emit
+
+            def body_fn(c):
+                b2, f2 = c["fifo"][v.name]
+                xs = tuple(b[:n_emit] for b in b2)
+                shifted = tuple(
+                    jnp.concatenate(
+                        [b[n_emit:],
+                         jnp.zeros((n_emit,) + b.shape[1:], b.dtype)],
+                        axis=0)
+                    for b in b2)
+                c = upd(c, "fifo", upd(c["fifo"], v.name,
+                                       (shifted, f2 - n_emit)))
+                ev = {_edge_key(e): xs[e.src.port] for e in down_edges}
+                c, ev = run_segment(v, c, ev, ext_inputs, caps)
+                c = write_pad_rows(v, c, ev)
+                c = upd(c, "ecnt", upd(c["ecnt"], v.name,
+                                       c["ecnt"][v.name] + 1))
+                return c
+
+            return jax.lax.while_loop(cond_fn, body_fn, ctx)
+
+        def step(state, ext_inputs):
+            ctx = {
+                "blocks": dict(state["blocks"]),
+                "tails": dict(state["tails"]),
+                "fifo": dict(state["fifo"]),
+            }
+            if has_vr:
+                ctx["emit"] = {
+                    key: jnp.zeros((rows,) + port.chunk_shape(items),
+                                   port.dtype)
+                    for key, (rows, items, port, _o) in emit_specs.items()
+                }
+                ctx["ecnt"] = {v.name: jnp.zeros((), jnp.int32)
+                               for v in self.vr_blocks}
+            caps: Dict[str, Any] = {}
+            edge_vals: Dict[str, Any] = {}
+            ctx, edge_vals = run_segment(None, ctx, edge_vals, ext_inputs,
+                                         caps)
+
+            pad_outs = []
+            for i, e in enumerate(out_pad_edges):
+                if self._edge_owner(e) is None:
+                    src = e.src.block
+                    if isinstance(src, Pad):
+                        pad_outs.append(ext_inputs[src.index])
+                    else:
+                        pad_outs.append(edge_vals[_edge_key(e)])
+                else:
+                    pad_outs.append(ctx["emit"][self._pad_emit_key[i]])
+            pad_outs = tuple(pad_outs)
+
+            if has_vr:
+                for b in order:
+                    if (not b.out_ports and b.in_ports
+                            and self.block_owner[b.uid] is not None):
+                        caps[b.name] = tuple(
+                            ctx["emit"][self._sink_emit_key[(b.name, j)]]
+                            for j in range(len(b.in_ports)))
+                # emission counts, f32 for transport-safe host readback
+                caps["__vr_counts__"] = {
+                    v.name: ctx["ecnt"][v.name].astype(jnp.float32)
+                    for v in self.vr_blocks
+                }
+            new_state = {"blocks": ctx["blocks"], "tails": ctx["tails"],
+                         "fifo": ctx["fifo"]}
             if self.debug_taps:
                 # §5.1 debug-tap idiom (generic_mod_demod.py:155-169 log=True
-                # wires a file sink at every stage): expose every edge value
-                sink_caps = dict(sink_caps)
-                sink_caps["__edges__"] = dict(edge_vals)
-            return new_state, (pad_outs, sink_caps)
+                # wires a file sink at every stage): expose every top-level
+                # edge value (VR-segment edges live inside the drain loop)
+                caps = dict(caps)
+                caps["__edges__"] = dict(edge_vals)
+            return new_state, (pad_outs, caps)
 
         self._step_fn = step
         self._jit_step = jax.jit(step, donate_argnums=(0,) if donate else ())
-        self._sinks = sinks
+        self._sinks = [b for b in order if not b.out_ports]
 
     @staticmethod
     def _apply_source(b: Block, state, n: int):
@@ -267,7 +580,13 @@ class StreamExecutor:
 
     # ------------------------------------------------------------------ run
     def step(self, *ext_inputs):
-        """Run one time-block; returns (pad_outputs, sink_captures)."""
+        """Run one time-block; returns (pad_outputs, sink_captures).
+
+        Outputs behind a variable-rate boundary are raw emission buffers
+        shaped (max_emissions, items, ...); the count of valid rows for
+        this step is in sink_captures["__vr_counts__"].  ``run``/``stream``
+        compact them automatically.
+        """
         ext_inputs = tuple(_ingest(x) for x in ext_inputs)
         for pad, x in zip(self.flat.in_pads, ext_inputs):
             want = self.chunk_size
@@ -276,31 +595,34 @@ class StreamExecutor:
                     f"input pad {pad.index}: expected {want} items, got {x.shape[0]}"
                 )
         self.state, out = self._jit_step(self.state, ext_inputs)
-        self._advance_tags()
-        return out
+        pads, caps = out
+        tagsrc = {k[len("__tagsrc__"):]: caps.pop(k)
+                  for k in list(caps) if k.startswith("__tagsrc__")}
+        self._advance_tags(tagsrc)
+        return pads, caps
 
     def run(self, *ext_inputs, steps: Optional[int] = None):
         """Feed full arrays, stream them through in chunks, return full outputs.
 
         The analog of ``tb.run()``: finite-input execution.  Trailing items
         that do not fill a whole chunk are zero-padded and the outputs
-        truncated to the exact rational length.
-        """
+        truncated to the exact rational length (fixed-rate pads) or to the
+        exact emission count (variable-rate pads; items still queued in a
+        VR FIFO at the end — less than one emission — remain in the carried
+        state, like items left in reference buffers at stop())."""
         n_pads = len(self.flat.in_pads)
         if len(ext_inputs) != n_pads:
             raise ValueError(f"graph has {n_pads} input pads, got {len(ext_inputs)}")
 
         if n_pads == 0:
             assert steps is not None, "source-driven graph needs steps="
-            total = steps * self.chunk_size
-            nchunks = steps
-            chunks_iter = ({} for _ in range(steps))
             outs_accum = [[] for _ in self.flat.out_pads]
             sink_accum: Dict[str, List] = {}
+            counts_accum: List[Dict[str, int]] = []
             for _ in range(steps):
                 pads, sinks = self.step()
-                self._collect(pads, sinks, outs_accum, sink_accum)
-            return self._finalize(outs_accum, sink_accum, None)
+                self._collect(pads, sinks, outs_accum, sink_accum, counts_accum)
+            return self._finalize(outs_accum, sink_accum, None, counts_accum)
 
         xs = [_ingest(x) for x in ext_inputs]  # step() re-checks; cheap no-op
         n = xs[0].shape[0]
@@ -313,25 +635,35 @@ class StreamExecutor:
         ]
         outs_accum = [[] for _ in self.flat.out_pads]
         sink_accum: Dict[str, List] = {}
+        counts_accum: List[Dict[str, int]] = []
         for c in range(nchunks):
             chunk = tuple(x[c * cs:(c + 1) * cs] for x in xs)
             pads, sinks = self.step(*chunk)
-            self._collect(pads, sinks, outs_accum, sink_accum)
-        return self._finalize(outs_accum, sink_accum, n)
+            self._collect(pads, sinks, outs_accum, sink_accum, counts_accum)
+        return self._finalize(outs_accum, sink_accum, n, counts_accum)
 
     def stream(self, chunk_iter):
         """Generator-driven streaming: pull fixed-size chunks from an
         iterator (native ring buffer, UDP source, ...) and yield each
         step's pad outputs.  The analog of the reference's free-running
         scheduler fed by a hardware source, with backpressure implicit in
-        the generator."""
+        the generator.  Variable-rate pads yield host-compacted arrays."""
         for chunk in chunk_iter:
             if not isinstance(chunk, (tuple, list)):
                 chunk = (chunk,)
-            pads, _ = self.step(*[_ingest(c) for c in chunk])
+            pads, sinks = self.step(*[_ingest(c) for c in chunk])
+            if self.vr_blocks:
+                counts = {k: int(np.asarray(v))
+                          for k, v in sinks["__vr_counts__"].items()}
+                pads = tuple(
+                    self._compact_emissions(
+                        self._emit_specs[self._pad_emit_key[i]][3],
+                        [p], [counts])
+                    if i in self._pad_emit_key else p
+                    for i, p in enumerate(pads))
             yield pads if len(pads) != 1 else pads[0]
 
-    def _collect(self, pads, sinks, outs_accum, sink_accum):
+    def _collect(self, pads, sinks, outs_accum, sink_accum, counts_accum=None):
         for i, v in enumerate(pads):
             outs_accum[i].append(v)
         for name, vals in sinks.items():
@@ -339,11 +671,34 @@ class StreamExecutor:
                 for k, ev in vals.items():
                     self.edge_data.setdefault(k, []).append(ev)
                 continue
+            if name == "__vr_counts__":
+                counts = {k: int(np.asarray(v)) for k, v in vals.items()}
+                if counts_accum is not None:
+                    counts_accum.append(counts)
+                for vname, cnt in counts.items():
+                    self._vr_counts_accum[vname].append(cnt)
+                continue
             sink_accum.setdefault(name, []).append(vals)
 
-    def _finalize(self, outs_accum, sink_accum, n_in):
+    def _compact_emissions(self, owner: Block, parts, counts_accum):
+        """parts: per-chunk (rows, items, ...) emission buffers; keep each
+        chunk's valid rows (that chunk's emission count for the owning VR
+        block's segment) and flatten emissions into a contiguous stream."""
+        out = []
+        for p, counts in zip(parts, counts_accum):
+            arr = np.asarray(p)[: int(counts[owner.name])]
+            out.append(arr.reshape((-1,) + arr.shape[2:]))
+        return np.concatenate(out, axis=0) if out else None
+
+    def _finalize(self, outs_accum, sink_accum, n_in, counts_accum=None):
+        counts_accum = counts_accum or []
         pad_outs = []
         for i, parts in enumerate(outs_accum):
+            if i in self._pad_emit_key:
+                owner = self._emit_specs[self._pad_emit_key[i]][3]
+                pad_outs.append(
+                    self._compact_emissions(owner, parts, counts_accum))
+                continue
             full = jnp.concatenate(parts, axis=0) if parts else None
             if n_in is not None and full is not None:
                 # truncate to exact rational output length for this pad
@@ -355,22 +710,31 @@ class StreamExecutor:
         byname_rate = {}
         if n_in is not None:
             for b in self.order:
-                if not b.out_ports and b.in_ports:
+                if (not b.out_ports and b.in_ports
+                        and self.block_owner[b.uid] is None):
                     ups = self.flat.upstream_of(b)
                     byname_rate[b.name] = self._cumulative_rate(ups[0])
-        self.sink_data = {
-            name: tuple(
-                jnp.concatenate([v[j] for v in vals], axis=0)[
-                    : (int(n_in * byname_rate[name])
-                       if n_in is not None and name in byname_rate else None)
-                ]
-                for j in range(len(vals[0]))
-            )
-            for name, vals in sink_accum.items()
-        }
+        self.sink_data = {}
+        byname = {b.name: b for b in self.order}
+        for name, vals in sink_accum.items():
+            b = byname[name]
+            if self.block_owner[b.uid] is not None:
+                owner = self.block_owner[b.uid]
+                self.sink_data[name] = tuple(
+                    self._compact_emissions(
+                        owner, [v[j] for v in vals], counts_accum)
+                    for j in range(len(vals[0]))
+                )
+            else:
+                self.sink_data[name] = tuple(
+                    jnp.concatenate([v[j] for v in vals], axis=0)[
+                        : (int(n_in * byname_rate[name])
+                           if n_in is not None and name in byname_rate else None)
+                    ]
+                    for j in range(len(vals[0]))
+                )
         # Write captures back onto sink blocks for convenient access
         # (the analog of vector_sink_X::data()).
-        byname = {b.name: b for b in self.order}
         for name, vals in self.sink_data.items():
             byname[name].captured = vals
         if len(pad_outs) == 1:
@@ -405,35 +769,78 @@ class StreamExecutor:
             if isinstance(e.src.block, Pad) and e.src.block.index == pad_index:
                 self._tags[_edge_key(e)].extend(tags)
 
-    def _advance_tags(self):
-        """Host-side per-chunk tag propagation (gr_block_executor.cc:91-156)."""
+    def _advance_tags(self, tagsrc: Optional[Dict[str, Any]] = None):
+        """Host-side per-chunk tag propagation (gr_block_executor.cc:91-156).
+
+        Policies follow the reference: TPP_DONT consumes input tags without
+        forwarding; TPP_ALL_TO_ALL scales every input tag by relative_rate
+        onto every output edge; TPP_ONE_TO_ONE maps input port i's tags to
+        output port i's edges only.  Blocks with ``emits_tags`` have their
+        in/out chunks handed to ``make_tags`` here and the produced tags
+        injected onto their output edges (the add_item_tag analog).
+
+        Across a variable-rate boundary, offsets are scaled by the block's
+        *nominal* rate — the same approximation the reference makes when a
+        block updates tags with set_relative_rate but consumes variably.
+        """
+        byname = {b.name: b for b in self.order}
+        for name, (ins, outs) in (tagsrc or {}).items():
+            b = byname[name]
+            new = b.make_tags(ins, outs, self.nitems[name],
+                              self.nitems_out[name])
+            if new:
+                for e in self.flat.downstream_of(b):
+                    k = _edge_key(e)
+                    if k in self._tags:
+                        self._tags[k].extend(new)
+                    elif isinstance(e.dst.block, Pad):
+                        self.pad_tags.setdefault(
+                            e.dst.block.index, []).extend(new)
+
         for b in self.order:
-            if b.tag_propagation == "dont":
-                continue
             ups = self.flat.upstream_of(b)
             downs = self.flat.downstream_of(b)
             n_in = self.block_nin[b.uid]
             start = self.nitems[b.name]
-            in_tags: List[Tag] = []
-            for e in ups.values():
+            in_by_port: Dict[int, List[Tag]] = {}
+            for i, e in ups.items():
                 k = _edge_key(e)
-                if k in self._tags:
-                    take = [t for t in self._tags[k] if t.offset < start + n_in]
-                    self._tags[k] = [t for t in self._tags[k] if t.offset >= start + n_in]
-                    in_tags.extend(take)
-            out_tags = propagate_tags(in_tags, b.relative_rate)
+                if k not in self._tags:
+                    continue
+                take = [t for t in self._tags[k] if t.offset < start + n_in]
+                self._tags[k] = [t for t in self._tags[k]
+                                 if t.offset >= start + n_in]
+                if take:
+                    in_by_port[i] = take
+            all_in = [t for ts in in_by_port.values() for t in ts]
             if not b.out_ports:
                 # terminal blocks retain their received tags for the host
                 # (the analog of reading gr_buffer tags at a sink)
-                if in_tags:
-                    self.sink_tags.setdefault(b.name, []).extend(in_tags)
+                if all_in:
+                    self.sink_tags.setdefault(b.name, []).extend(all_in)
                 continue
+            if b.tag_propagation == "dont":
+                continue  # consumed, not forwarded (TPP_DONT)
             for e in downs:
+                if b.tag_propagation == "one_to_one":
+                    src_tags = in_by_port.get(e.src.port, [])
+                else:  # all_to_all
+                    src_tags = all_in
+                if not src_tags:
+                    continue
+                out_tags = propagate_tags(src_tags, b.relative_rate)
                 k = _edge_key(e)
                 if k in self._tags:
                     self._tags[k].extend(out_tags)
+                elif isinstance(e.dst.block, Pad):
+                    self.pad_tags.setdefault(
+                        e.dst.block.index, []).extend(out_tags)
         for b in self.order:
             self.nitems[b.name] += self.block_nin[b.uid]
+            self.nitems_out[b.name] += (
+                self.block_nin[b.uid] // b.decim * b.interp
+                if not b.variable_rate else
+                int(self.block_nin[b.uid] * b.nominal_rate))
 
     def dump_debug_taps(self, directory: str):
         """Write every edge's captured stream to <dir>/<edge>.dat (raw
@@ -452,7 +859,8 @@ class StreamExecutor:
 
     # ------------------------------------------------------------------ ckpt
     def save_checkpoint(self, path: str):
-        """Persist full flowgraph state (all block states + halo tails)."""
+        """Persist full flowgraph state (all block states + halo tails +
+        VR FIFOs), with the treedef recorded for load-time validation."""
         leaves, treedef = jax.tree_util.tree_flatten(self.state)
         np.savez(
             path,
@@ -463,5 +871,26 @@ class StreamExecutor:
     def load_checkpoint(self, path: str):
         data = np.load(path, allow_pickle=False)
         leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        if "treedef" in data:
+            saved = bytes(data["treedef"]).decode()
+            if saved != repr(treedef):
+                raise ValueError(
+                    "checkpoint structure does not match this flowgraph: "
+                    f"saved treedef\n  {saved}\nexecutor treedef\n  "
+                    f"{repr(treedef)}"
+                )
+        nleaves = len([k for k in data.files if k.startswith("arr_")])
+        if nleaves != len(leaves):
+            raise ValueError(
+                f"checkpoint has {nleaves} state leaves, flowgraph has "
+                f"{len(leaves)}"
+            )
+        for i, l in enumerate(leaves):
+            saved = data[f"arr_{i}"]
+            if tuple(saved.shape) != tuple(np.shape(l)):
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {saved.shape} != executor "
+                    f"state leaf shape {np.shape(l)}"
+                )
         new_leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(leaves))]
         self.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
