@@ -74,19 +74,35 @@ class WaveletFF(Block):
 
 
 class BurstTagger(Block):
-    """gr_burst_tagger: second (magnitude) input gates burst start/end;
-    emits the gated state stream (tag generation happens host-side from
-    the transition stream)."""
+    """gr_burst_tagger: signal passthrough; the second (magnitude) input
+    gates burst start/end and real stream Tags ("burst", True/False) are
+    emitted at the transitions — the executor's emits_tags machinery calls
+    make_tags each chunk (gr_burst_tagger.cc work's add_item_tag)."""
+
+    emits_tags = True
 
     def __init__(self, threshold: float = 0.5, dtype=jnp.complex64, name=None):
         self.in_ports = (Port(dtype), Port(jnp.float32))
-        self.out_ports = (Port(dtype), Port(jnp.uint8))
+        self.out_ports = (Port(dtype),)
         super().__init__(name)
         self.threshold = threshold
+        self._last_active = False
 
     def apply(self, state, x, mag):
-        active = (mag > self.threshold).astype(jnp.uint8)
-        return state, (x, active)
+        return state, x
+
+    def make_tags(self, ins, outs, start_in, start_out):
+        from grtpu.runtime.tags import Tag
+
+        mag = np.asarray(ins[1])
+        active = mag > self.threshold
+        prev = np.concatenate([[self._last_active], active[:-1]])
+        self._last_active = bool(active[-1]) if len(active) else self._last_active
+        tags = []
+        for i in np.flatnonzero(active != prev):
+            tags.append(Tag(start_out + int(i), "burst", bool(active[i]),
+                            self.name))
+        return tags
 
 
 class Annotator(Block):

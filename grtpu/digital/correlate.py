@@ -62,6 +62,52 @@ class CorrelateAccessCode(Block):
         return state, (data | (flags << 1)).astype(jnp.uint8)
 
 
+class CorrelateAccessCodeTag(Block):
+    """Access-code detector emitting stream Tags instead of flag bits
+    (the gr 3.6-era digital_correlate_access_code_tag_bb shape, built on
+    the same sliding correlator as CorrelateAccessCode): bits pass through
+    unchanged; a Tag(key, True) is placed on the first payload bit after
+    each code match."""
+
+    emits_tags = True
+
+    def __init__(self, access_code_bits, threshold: int = 0,
+                 key: str = "access_code", name=None):
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = (Port(jnp.uint8),)
+        code = np.asarray(access_code_bits, np.uint8)
+        self.history = len(code) + 1
+        super().__init__(name)
+        self.code = code
+        self.threshold = threshold
+        self.key = key
+
+    def apply(self, state, x):
+        return state, (x[self.history - 1:] & 1).astype(jnp.uint8)
+
+    def make_tags(self, ins, outs, start_in, start_out):
+        from grtpu.runtime.tags import Tag
+
+        bits = (np.asarray(ins[0]) & 1).astype(np.float32) * 2 - 1
+        code = self.code.astype(np.float32) * 2 - 1
+        L = len(code)
+        # correlate: window of L bits ENDING at delivered index i matches
+        # -> payload starts at the next bit.  Output item j corresponds to
+        # delivered index j + history - 1 = j + L.
+        corr = np.convolve(bits, code[::-1], mode="valid")  # len: n+L .. -L+1
+        errs = (L - corr) / 2
+        hits = np.flatnonzero(errs <= self.threshold + 0.5)
+        tags = []
+        n_out = len(np.asarray(outs[0]))
+        for h in hits:
+            # window ends at delivered index h+L-1; payload = h+L; output
+            # coordinate j = (h+L) - L = h
+            if 0 <= h < n_out:
+                tags.append(Tag(start_out + int(h), self.key, True,
+                                self.name))
+        return tags
+
+
 class PnCorrelator(Block):
     """gr_pn_correlator_cc: correlate against a +-1 PN sequence, one output
     per full period (decimating by the sequence length)."""
