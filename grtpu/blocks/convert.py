@@ -183,3 +183,29 @@ class Conjugate(Block):
 
     def apply(self, state, x):
         return state, jnp.conj(x)
+
+
+class CharToFloatSigned(Block):
+    """gr_char_to_float over grtpu's canonical uint8 byte streams: bytes are
+    reinterpreted as signed chars (the reference connects char/uchar streams
+    interchangeably by itemsize; grtpu ports are dtype-strict, so the GRC
+    loader uses this signed view)."""
+
+    in_ports = (Port(jnp.uint8),)
+    out_ports = (Port(jnp.float32),)
+
+    def apply(self, state, x):
+        v = x.astype(jnp.float32)
+        return state, jnp.where(v < 128.0, v, v - 256.0)
+
+
+class FloatToCharSigned(Block):
+    """gr_float_to_char emitting grtpu's canonical uint8 bytes (two's
+    complement view of the clipped signed value)."""
+
+    in_ports = (Port(jnp.float32),)
+    out_ports = (Port(jnp.uint8),)
+
+    def apply(self, state, x):
+        v = jnp.clip(jnp.round(x), -128, 127)
+        return state, jnp.where(v < 0, v + 256.0, v).astype(jnp.uint8)

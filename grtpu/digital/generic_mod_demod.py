@@ -162,3 +162,112 @@ class GenericModem:
             "clock_rate": float(np.asarray(rate)),
         }
         return bits.reshape(-1).astype(np.uint8), diag
+
+
+# ---------------------------------------------------------------------------
+# Stream hier blocks: the reference's generic_mod/generic_demod are
+# gr.hier_block2 chains (generic_mod_demod.py:76-150, :268-313).  With
+# variable-rate blocks first-class in the executor, the full demod chain now
+# composes from ordinary graph blocks too.
+# ---------------------------------------------------------------------------
+from grtpu.runtime.graph import HierBlock  # noqa: E402
+from grtpu.runtime.block import Port  # noqa: E402
+
+
+def _gray_maps(m):
+    gray = np.asarray([i ^ (i >> 1) for i in range(m)], np.int32)
+    inv = np.zeros(m, np.int32)
+    for i, g in enumerate(gray):
+        inv[g] = i
+    return gray, inv
+
+
+class GenericModBlock(HierBlock):
+    """generic_mod as a stream hier block (generic_mod_demod.py:76-150):
+    packed bytes -> unpack k bits/chunk -> gray map -> differential encode
+    -> chunks_to_symbols -> RRC pulse shaping at sps."""
+
+    def __init__(self, constellation: Constellation | None = None, m: int = 4,
+                 samples_per_symbol: int = 4, excess_bw: float = 0.35,
+                 differential: bool = True, gray_code: bool = True,
+                 name=None):
+        super().__init__(name)
+        from grtpu.blocks.gengen import (ChunksToSymbols, MapBB,
+                                         PackedToUnpacked)
+        from grtpu.blocks.filter import InterpFirFilter
+        from grtpu.digital.blocks import DiffEncoder
+
+        k = int(np.log2(m))
+        sps = int(samples_per_symbol)
+        if constellation is None:
+            constellation = psk_constellation(m)
+            if m > 2:
+                rot = np.exp(1j * np.pi / m).astype(np.complex64)
+                constellation.points = (constellation.points * rot).astype(
+                    np.complex64)
+        pts = np.asarray(constellation.points)
+        rrc = firdes.root_raised_cosine(sps, sps, 1.0, excess_bw, 11 * sps)
+        g = self.graph
+        pin = g.add_input(Port(jnp.uint8))
+        pout = g.add_output(Port(jnp.complex64))
+        chain = [PackedToUnpacked(k)]
+        if gray_code:
+            gray, _ = _gray_maps(m)
+            chain.append(MapBB(gray))
+        if differential:
+            chain.append(DiffEncoder(m))
+        chain.append(ChunksToSymbols(pts, in_dtype=jnp.uint8,
+                                     out_dtype=jnp.complex64))
+        chain.append(InterpFirFilter(sps, rrc, "ccf"))
+        g.connect(pin, *chain, pout)
+        self.constellation = constellation
+
+
+class GenericDemodBlock(HierBlock):
+    """generic_demod as a stream hier block (generic_mod_demod.py:268-313):
+    agc2 -> fll_band_edge -> pfb_clock_sync (variable-rate, first-class) ->
+    constellation_receiver -> differential decode -> ungray -> unpack to
+    bits.  The executor's FIFO emission machinery handles the clock-sync
+    rate boundary."""
+
+    def __init__(self, constellation: Constellation | None = None, m: int = 4,
+                 samples_per_symbol: int = 4, excess_bw: float = 0.35,
+                 freq_bw: float = 0.035, timing_bw: float = 0.045,
+                 phase_bw: float = 0.06, nfilts: int = 32,
+                 differential: bool = True, gray_code: bool = True,
+                 name=None):
+        super().__init__(name)
+        from grtpu.blocks.analog import Agc2
+        from grtpu.blocks.gengen import MapBB, UnpackKBits
+        from grtpu.blocks.pfb import PfbClockSync
+        from grtpu.digital.blocks import (ConstellationReceiver, DiffDecoder,
+                                          FllBandEdge)
+
+        k = int(np.log2(m))
+        sps = int(samples_per_symbol)
+        if constellation is None:
+            constellation = psk_constellation(m)
+            if m > 2:
+                rot = np.exp(1j * np.pi / m).astype(np.complex64)
+                constellation.points = (constellation.points * rot).astype(
+                    np.complex64)
+        mf_bank = firdes.root_raised_cosine(
+            nfilts, nfilts * sps, 1.0, excess_bw, 11 * sps * nfilts)
+        g = self.graph
+        pin = g.add_input(Port(jnp.complex64))
+        pout = g.add_output(Port(jnp.uint8))
+        chain = [
+            Agc2(attack_rate=1e-1, decay_rate=1e-2, reference=1.0,
+                 gain=1.0 / sps),
+            FllBandEdge(sps, excess_bw, sps * 4, freq_bw),
+            PfbClockSync(sps, timing_bw, mf_bank, nfilts=nfilts),
+            ConstellationReceiver(constellation, phase_bw),
+        ]
+        if differential:
+            chain.append(DiffDecoder(m))
+        if gray_code:
+            _, ungray = _gray_maps(m)
+            chain.append(MapBB(ungray))
+        chain.append(UnpackKBits(k))
+        g.connect(pin, *chain, pout)
+        self.constellation = constellation

@@ -149,3 +149,54 @@ class CvsdDecode(Block):
         bit_values = (x[:, None].astype(jnp.uint32)
                       & np.uint32(1 << np.arange(7, -1, -1))).reshape(-1)
         return cvsd_decode_bits(self.params, state, bit_values)
+
+
+# ------------------------------------------------------------- blks2 wrappers
+def _cvsd_hier():
+    from grtpu.runtime.graph import HierBlock
+    from grtpu.runtime.block import Port
+    import jax.numpy as jnp
+
+    class CvsdEncodeFB(HierBlock):
+        """blks2.cvsd_encode (gr-vocoder/python/cvsd.py cvsd_encode_fb):
+        float (+-1) -> x32000 -> interpolate -> float_to_short -> CVSD
+        bits."""
+
+        def __init__(self, resample: int = 8, bw: float = 0.5, name=None):
+            super().__init__(name)
+            from grtpu.blocks.gengen import MultiplyConst
+            from grtpu.blocks.convert import FloatToShort
+            from grtpu.blocks.filter import InterpFirFilter
+            from grtpu.utils import firdes
+
+            g = self.graph
+            pin = g.add_input(Port(jnp.float32))
+            pout = g.add_output(Port(jnp.uint8))
+            taps = firdes.low_pass(resample, resample, bw, 2 * bw)
+            g.connect(pin, MultiplyConst(32000.0, dtype=jnp.float32),
+                      InterpFirFilter(resample, taps, "fff"),
+                      FloatToShort(), CvsdEncode(), pout)
+
+    class CvsdDecodeBF(HierBlock):
+        """blks2.cvsd_decode (cvsd_decode_bf): CVSD bits -> shorts ->
+        float -> decimating low-pass -> /32000."""
+
+        def __init__(self, resample: int = 8, bw: float = 0.5, name=None):
+            super().__init__(name)
+            from grtpu.blocks.gengen import MultiplyConst
+            from grtpu.blocks.convert import ShortToFloat
+            from grtpu.blocks.filter import FirFilter
+            from grtpu.utils import firdes
+
+            g = self.graph
+            pin = g.add_input(Port(jnp.uint8))
+            pout = g.add_output(Port(jnp.float32))
+            taps = firdes.low_pass(1, 1, bw, 2 * bw)
+            g.connect(pin, CvsdDecode(), ShortToFloat(),
+                      FirFilter(resample, taps, "fff"),
+                      MultiplyConst(1.0 / 32000.0, dtype=jnp.float32), pout)
+
+    return CvsdEncodeFB, CvsdDecodeBF
+
+
+CvsdEncodeFB, CvsdDecodeBF = _cvsd_hier()

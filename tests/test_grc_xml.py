@@ -1,0 +1,92 @@
+"""Unmodified reference .grc flowgraphs through the XML loader.
+
+VERDICT.md round-1 item #4: the reference's GRC pipeline consumes .grc XML
+(grc/python/Generator.py:32-120, grc/base/ParseXML.py); grtpu.grc.grcxml
+parses the same files into Graphs and runs them.  These tests execute actual
+flowgraphs shipped in /root/reference/gnuradio-examples end-to-end on CPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from grtpu.grc.grcxml import load_grc, parse_grc, run_grc
+
+REF = "/root/reference/gnuradio-examples"
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
+                               reason="reference tree not present")
+
+
+@needs_ref
+class TestGrcParsing:
+    def test_parse_dial_tone(self):
+        options, env_blocks, blocks, conns = parse_grc(
+            f"{REF}/grc/audio/dial_tone.grc")
+        assert options["id"] == "dial_tone"
+        keys = {k for k, _, _ in blocks}
+        assert "gr_sig_source_x" in keys and "audio_sink" in keys
+        assert len(conns) == 4
+
+    def test_variables_evaluate(self):
+        g, byid, options, env = load_grc(f"{REF}/grc/audio/dial_tone.grc")
+        assert env["samp_rate"] == 32000
+        assert abs(env["ampl"] - 0.4) < 1e-9  # variable_slider value
+
+
+@needs_ref
+class TestGrcExecution:
+    def test_dial_tone_produces_tones(self):
+        """Audio output must contain the 350 Hz + 440 Hz dial tones."""
+        with pytest.warns(UserWarning, match="audio_sink"):
+            ex, byid = run_grc(f"{REF}/grc/audio/dial_tone.grc", steps=4)
+        audio = np.asarray(byid["audio_sink"].captured[0])
+        fs = 32000
+        spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+        freqs = np.fft.rfftfreq(len(audio), 1 / fs)
+        peaks = freqs[np.argsort(spec)[-6:]]
+        assert any(abs(p - 350) < 5 for p in peaks)
+        assert any(abs(p - 440) < 5 for p in peaks)
+
+    def test_resampler_demo_exact_rational_rate(self):
+        """pfb arb resampler 44100 -> 48000: output/input = 160/147."""
+        ex, byid = run_grc(f"{REF}/python/pfb/resampler_demo.grc", steps=2)
+        n_in = len(np.asarray(byid["orig_fft"].captured[0]))
+        n_out = len(np.asarray(byid["resamp_fft"].captured[0]))
+        assert n_out * 147 == n_in * 160
+
+    def test_ber_simulation_measures_errors(self):
+        """QPSK + AWGN at noise 0.25 -> small nonzero BER stream."""
+        ex, byid = run_grc(f"{REF}/grc/simple/ber_simulation.grc", steps=3)
+        ber = np.asarray(byid["wxgui_numbersink2"].captured[0])
+        assert ber.shape[0] > 1000
+        final = float(ber[-1])
+        assert 0.0 <= final < 0.05  # sigma=.25 on unit-distance QPSK
+
+    def test_cvsd_sweep_runs(self):
+        """CVSD vocoder loopback chain incl. hier encode/decode wrappers."""
+        with pytest.warns(UserWarning, match="audio_sink"):
+            ex, byid = run_grc(f"{REF}/grc/audio/cvsd_sweep.grc", steps=2)
+        dec = np.asarray(byid["dec_fft"].captured[0])
+        enc = np.asarray(byid["enc_fft"].captured[0])
+        assert len(enc) == 8 * len(dec)  # 8 resample x (1 byte / 8 bits)
+        assert np.abs(dec).max() > 0
+
+    def test_pam_timing_vr_clock_sync_in_grc_graph(self):
+        """pam_timing.grc taps all 4 pfb_clock_sync outputs (data + the
+        err/rate/phase diagnostics) — multi-output variable-rate block
+        through the FIFO machinery, loaded from reference XML."""
+        ex, byid = run_grc(f"{REF}/grc/demod/pam_timing.grc", steps=1)
+        data = np.asarray(byid["wxgui_scopesink2_0"].captured[0])
+        err = np.asarray(byid["wxgui_scopesink2_0_0"].captured[0])
+        assert data.shape == err.shape and data.dtype == np.complex64
+        assert len(data) > 1000
+
+    def test_mpsk_demod_hier_mod(self):
+        """blks2_dxpsk_mod (streaming generic_mod hier block) + channel."""
+        ex, byid = run_grc(f"{REF}/grc/demod/mpsk_demod.grc", steps=1)
+        const = np.asarray(byid["wxgui_constellationsink2_0"].captured[0])
+        assert const.dtype == np.complex64 and len(const) > 10000
+        # RRC-shaped DQPSK through a clean-ish channel: bounded envelope
+        assert 0.1 < np.abs(const).mean() < 10
