@@ -373,3 +373,72 @@ class TestLinearRecurrenceConst:
         np.testing.assert_allclose(
             np.concatenate([np.asarray(y1), np.asarray(y2)]),
             np.asarray(y_all), atol=1e-5)
+
+
+class TestLongTapKernelAndComposition:
+    """Generalized Pallas kernel (arbitrary tap counts) + LTI composition
+    (grtpu.ops.fir.compose_taps) — the bench.py composed configurations."""
+
+    def test_long_filter_kernel_matches_numpy(self):
+        from grtpu.ops.pallas_fir import fir_cascade
+
+        rng = np.random.RandomState(3)
+        taps = (rng.randn(1000) * 0.03).astype(np.float32)
+        x = rng.randn(2, 1536).astype(np.float32)
+        y = np.asarray(fir_cascade(jnp.asarray(x), taps, 1, tile_rows=512,
+                                   interpret=True, precision="f32"))
+        ref = np.stack([
+            np.convolve(np.concatenate([np.zeros(len(taps) - 1), xi]),
+                        taps, "valid") for xi in x])
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_composed_equals_cascade(self):
+        from grtpu.ops.fir import compose_taps_power
+        from grtpu.ops.pallas_fir import fir_cascade
+
+        rng = np.random.RandomState(4)
+        taps = (rng.randn(64) * 0.1).astype(np.float32)
+        comp = compose_taps_power(taps, 4)
+        x = rng.randn(1, 1024).astype(np.float32)
+        y_cas = np.asarray(fir_cascade(jnp.asarray(x), taps, 4,
+                                       tile_rows=256, interpret=True,
+                                       precision="f32"))
+        y_cmp = np.asarray(fir_cascade(jnp.asarray(x), comp, 1,
+                                       tile_rows=256, interpret=True,
+                                       precision="f32"))
+        scale = np.abs(y_cas).max()
+        assert np.abs(y_cas - y_cmp).max() / scale < 1e-5
+
+    def test_single_stage_bf16_paths(self):
+        from grtpu.ops.pallas_fir import fir_cascade
+
+        rng = np.random.RandomState(5)
+        taps = (rng.randn(300) * 0.05).astype(np.float32)
+        x = rng.randn(1, 1024).astype(np.float32)
+        ref = np.convolve(np.concatenate([np.zeros(299), x[0]]), taps,
+                          "valid")
+        scale = np.abs(ref).max()
+        y3 = np.asarray(fir_cascade(jnp.asarray(x), taps, 1, tile_rows=256,
+                                    interpret=True, precision="bf16x3"))[0]
+        assert np.abs(y3 - ref).max() / scale < 1e-4
+        y1 = np.asarray(fir_cascade(jnp.asarray(x), taps, 1, tile_rows=256,
+                                    interpret=True, precision="bf16"))[0]
+        assert np.abs(y1 - ref).max() / scale < 3e-2
+
+    def test_compose_taps_exactness(self):
+        from grtpu.ops.fir import compose_taps, fir_filter
+
+        rng = np.random.RandomState(6)
+        a = (rng.randn(31) * 0.2).astype(np.float32)
+        b = (rng.randn(17) * 0.2).astype(np.float32)
+        x = rng.randn(400).astype(np.float32)
+
+        def run(t, xin):
+            k = len(t)
+            xh = jnp.concatenate([jnp.zeros(k - 1, jnp.float32),
+                                  jnp.asarray(xin)])
+            return np.asarray(fir_filter(xh, jnp.asarray(t)))
+
+        chained = run(b, run(a, x))
+        composed = run(compose_taps(a, b), x)
+        assert np.abs(chained - composed).max() / np.abs(chained).max() < 1e-5
