@@ -92,3 +92,175 @@ class TestCarrierLayout:
         assert 0 not in c
         assert len(c) == 48
         assert c.min() == -24 and c.max() == 24
+
+
+class TestSyncVariants:
+    """The reference's four sync variants (ofdm_sync_{pn,ml,pnac,fixed}.py,
+    chosen by ofdm_receiver.py:107-121) under CFO + noise."""
+
+    def _burst(self, cfo=0.002, snr_db=20.0, offset=300, seed=3):
+        m = OfdmModem()
+        rng = np.random.default_rng(seed)
+        bits = rng.integers(0, 2, 96 * 4).astype(np.uint8)
+        tx = np.asarray(m.modulate(bits))
+        x = np.concatenate([np.zeros(offset, np.complex64), tx,
+                            np.zeros(400, np.complex64)])
+        n = np.arange(len(x))
+        x = x * np.exp(2j * np.pi * cfo * n)
+        p = (np.abs(tx) ** 2).mean()
+        sigma = np.sqrt(p / 10 ** (snr_db / 10) / 2)
+        x = (x + sigma * (rng.standard_normal(len(x))
+                          + 1j * rng.standard_normal(len(x)))
+             ).astype(np.complex64)
+        return m, x, offset, cfo
+
+    def test_sync_pn_timing_and_cfo(self):
+        from grtpu.digital.ofdm import ofdm_sync_pn
+
+        m, x, offset, cfo = self._burst()
+        met, P = ofdm_sync_pn(jnp.asarray(x), m.fft_len)
+        met = np.asarray(met)
+        d = int(np.argmax(met))
+        # S&C metric plateaus over the CP; the peak must fall inside
+        # [frame start, frame start + cp]
+        assert offset - 2 <= d <= offset + m.cp_len + 2
+        cfo_hat = float(np.angle(np.asarray(P)[d])) / (m.fft_len // 2)
+        assert abs(cfo_hat - 2 * np.pi * cfo) < 2e-3
+
+    def test_sync_ml_timing_and_cfo(self):
+        from grtpu.digital.ofdm import ofdm_sync_ml
+
+        m, x, offset, cfo = self._burst(snr_db=25.0)
+        met, g = ofdm_sync_ml(jnp.asarray(x), m.fft_len, m.cp_len, 25.0)
+        met = np.asarray(met)
+        # the strongest CP correlation must land on a symbol's CP start
+        # (frame start + k*sym_len)
+        d = int(np.argmax(met))
+        rel = (d - offset) % (m.fft_len + m.cp_len)
+        assert min(rel, (m.fft_len + m.cp_len) - rel) <= 3
+        cfo_hat = -float(np.angle(np.asarray(g)[d])) / m.fft_len
+        assert abs(cfo_hat - 2 * np.pi * cfo) < 2e-3
+
+    def test_sync_pnac_sharp_peak(self):
+        from grtpu.digital.ofdm import ofdm_sync_pnac
+
+        m, x, offset, cfo = self._burst(cfo=0.0005)
+        met, corr = ofdm_sync_pnac(jnp.asarray(x), m.fft_len, m.sync_time)
+        met = np.asarray(met)
+        d = int(np.argmax(met))
+        # pnac peak: first-half correlation peak at offset+cp+L/2-1 (the
+        # delayed product with the second-half peak at offset+cp+L-1)
+        want = offset + m.cp_len + m.fft_len // 2 - 1
+        assert abs(d - want) <= 3
+        cfo_hat = float(np.angle(np.asarray(corr)[d])) / (m.fft_len // 2)
+        assert abs(cfo_hat - 2 * np.pi * 0.0005) < 1e-3
+
+    def test_sync_fixed(self):
+        from grtpu.digital.ofdm import ofdm_sync_fixed
+
+        peaks, freq = ofdm_sync_fixed(400, 64, 16, 3, freq_offset=0.01)
+        peaks = np.asarray(peaks)
+        assert list(np.flatnonzero(peaks)[:2]) == [79, 319]
+        assert np.allclose(np.asarray(freq), np.pi * 0.01)
+
+
+class TestStreamingReceiver:
+    """OfdmReceiver: the streaming 3-output receiver
+    (ofdm_receiver.py:44-46 with the fork's channel-estimate port) as a
+    first-class variable-rate graph block."""
+
+    def test_two_frames_through_graph(self):
+        from grtpu.runtime.graph import Graph
+        from grtpu.runtime.executor import StreamExecutor
+        from grtpu.runtime.block import Port
+        from grtpu.digital.ofdm import OfdmReceiver, OfdmFrameSink
+
+        m = OfdmModem()
+        nsym = 6
+        rng = np.random.default_rng(5)
+        per_frame = 96 * nsym
+        bits1 = rng.integers(0, 2, per_frame).astype(np.uint8)
+        bits2 = rng.integers(0, 2, per_frame).astype(np.uint8)
+        tx1, tx2 = np.asarray(m.modulate(bits1)), np.asarray(m.modulate(bits2))
+        gap1, gap2 = 511, 700
+        x = np.concatenate([
+            np.zeros(gap1, np.complex64), tx1,
+            np.zeros(gap2, np.complex64), tx2,
+            np.zeros(900, np.complex64)])
+        cfo = 0.0008
+        x = (x * np.exp(2j * np.pi * cfo * np.arange(len(x)))
+             ).astype(np.complex64)
+        p = (np.abs(tx1) ** 2).mean()
+        sigma = np.sqrt(p / 10 ** (25.0 / 10) / 2)
+        x = (x + sigma * (rng.standard_normal(len(x))
+                          + 1j * rng.standard_normal(len(x)))
+             ).astype(np.complex64)
+
+        rx = OfdmReceiver(m, nsym_data=nsym, sync_type="pn")
+        sink = OfdmFrameSink(m)
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        p_bits = g.add_output(Port(jnp.uint8))
+        p_flag = g.add_output(Port(jnp.uint8))
+        p_chan = g.add_output(Port(jnp.complex64, m.occupied))
+        g.connect(pin, rx)
+        g.connect((rx, 0), sink, p_bits)
+        g.connect((rx, 1), p_flag)
+        g.connect((rx, 2), p_chan)
+        # bursty low-rate VR output: pick an emission size dividing the
+        # burst symbol count so whole frames drain (trailing sub-emission
+        # items stay queued, like items left in reference buffers at stop)
+        ex = StreamExecutor(g, chunk_size=1024, vr_chunks={rx: 3})
+        bits_out, flags, chans = ex.run(x)
+
+        flags = np.asarray(flags)
+        starts = np.flatnonzero(flags)
+        assert len(starts) == 2, starts  # both frames acquired
+        bits_out = np.asarray(bits_out).reshape(-1, per_frame)
+        assert bits_out.shape[0] == 2
+        ber1 = (bits_out[0] != bits1).mean()
+        ber2 = (bits_out[1] != bits2).mean()
+        assert ber1 == 0.0 and ber2 == 0.0, (ber1, ber2)
+        # channel estimates exported per symbol (fork's 3rd output):
+        # flat channel -> |H| ~ 1 on every carrier
+        ch = np.asarray(chans)
+        assert ch.shape == (2 * nsym, m.occupied)
+        assert np.all(np.abs(np.abs(ch) - 1.0) < 0.35)
+
+    def test_ml_variant_through_graph(self):
+        from grtpu.runtime.graph import Graph
+        from grtpu.runtime.executor import StreamExecutor
+        from grtpu.runtime.block import Port
+        from grtpu.digital.ofdm import OfdmReceiver, OfdmFrameSink
+
+        m = OfdmModem()
+        nsym = 4
+        rng = np.random.default_rng(6)
+        bits = rng.integers(0, 2, 96 * nsym).astype(np.uint8)
+        tx = np.asarray(m.modulate(bits))
+        x = np.concatenate([np.zeros(400, np.complex64), tx,
+                            np.zeros(800, np.complex64)])
+        rx = OfdmReceiver(m, nsym_data=nsym, sync_type="ml", snr_db=25.0,
+                          thresh=0.6)
+        sink = OfdmFrameSink(m)
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        p_bits = g.add_output(Port(jnp.uint8))
+        g.connect(pin, rx)
+        g.connect((rx, 0), sink, p_bits)
+        g.connect((rx, 1), gengen_sink_u8())
+        g.connect((rx, 2), gengen_sink_vec(m.occupied))
+        ex = StreamExecutor(g, chunk_size=1024, vr_chunks={rx: 2})
+        bits_out = np.asarray(ex.run(x))
+        assert len(bits_out) == 96 * nsym
+        assert (bits_out != bits).mean() == 0.0
+
+
+def gengen_sink_u8():
+    from grtpu.blocks.gengen import VectorSink
+    return VectorSink(dtype=jnp.uint8)
+
+
+def gengen_sink_vec(vlen):
+    from grtpu.blocks.gengen import VectorSink
+    return VectorSink(dtype=jnp.complex64, vlen=vlen)
