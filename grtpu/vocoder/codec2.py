@@ -22,9 +22,15 @@ This is a faithful float re-implementation in vectorized NumPy (frame-level
 host codec, like the reference's scalar C).  The quantiser codebooks,
 glottal phase table, and NLP decimation filter are data tables extracted
 from the reference build (data_codec2.npz); everything else is re-derived.
-Randomized components (voiced phase jitter, unvoiced phases) use a seeded
-NumPy generator, so decoded waveforms match the reference spectrally rather
-than sample-exactly (tests/test_vocoder_codec2.py).
+Exactness: the encoder mirrors the reference's float32 arithmetic where it
+gates quantiser decisions (pitch-refinement grid accumulation, double->
+float promotions) and is 100% byte-identical to the compiled reference on
+the test corpus.  The decoder reproduces the reference's libc rand()
+stream (glibc TYPE_3 generator, seed 1 — phase jitter, unvoiced phases,
+postfilter randomization, drawn in the C's exact per-harmonic order) and
+its float32 phase/bin arithmetic, matching the reference's output samples
+to float tolerance (>=50 dB; residual = kiss_fft f32 vs numpy f64
+rounding).  tests/test_vocoder_codec2.py asserts both.
 """
 
 from __future__ import annotations
@@ -164,25 +170,43 @@ def _dft_speech(Sn):
     return np.fft.fft(x)                          # fft(...,-1)
 
 
-def _hs_pitch_refinement(Wo, L, Sw, pmin, pmax, pstep):
-    P = np.abs(Sw) ** 2
-    r = TWO_PI / FFT_ENC
+def _hs_pitch_refinement(Wo, Sw, dlo, dhi, pstep):
+    """sine.c hs_pitch_refinement, mirroring the C's float32 arithmetic:
+    L is recomputed from the CURRENT Wo at each stage (model->L =
+    PI/model->Wo inside the C function), the candidate grid accumulates
+    ``p += pstep`` in float32 (whether the endpoint survives ``p <= pmax``
+    depends on those roundings — with float64 + epsilon the last candidate
+    can be wrongly included, flipping ~5%% of pitch indices), and harmonic
+    bins use the float32 products.  Byte-exactness vs the compiled
+    reference is asserted in tests/test_vocoder_codec2.py."""
+    # C promotion rules matter: TWO_PI/PI are double literals, so
+    # pmin/pmax/Wo come from DOUBLE divisions truncated to float, while the
+    # loop accumulates p in float — whether the last grid point survives
+    # ``p <= pmax`` hangs on those exact roundings.
+    f32 = np.float32
+    Wo = f32(Wo)
+    L = int(PI / float(Wo))                      # (int)(double PI / float)
+    P = (Sw.real ** 2 + Sw.imag ** 2).astype(np.float64)
+    r = f32(TWO_PI / float(FFT_ENC))
+    m = np.arange(1, L + 1, dtype=np.float32)
+    p0d = TWO_PI / float(Wo)                     # double
+    p = f32(p0d + dlo)
+    pmax = f32(p0d + dhi)
+    pstep = f32(pstep)
     best, Em = Wo, 0.0
-    p = pmin
-    while p <= pmax + 1e-9:
-        cand = TWO_PI / p
-        b = np.floor(np.arange(1, L + 1) * cand / r + 0.5).astype(int)
+    while p <= pmax:
+        cand = f32(TWO_PI / float(p))            # float Wo = TWO_PI/p
+        b = np.floor((m * cand / r).astype(np.float64) + 0.5).astype(int)
         E = float(np.sum(P[np.clip(b, 0, FFT_ENC - 1)]))
         if E > Em:
             Em, best = E, cand
-        p += pstep
-    return best
+        p = f32(p + pstep)
+    return float(best)
 
 
 def _two_stage_pitch_refinement(Wo, Sw):
-    L = int(PI / Wo)
-    Wo = _hs_pitch_refinement(Wo, L, Sw, TWO_PI / Wo - 5, TWO_PI / Wo + 5, 1.0)
-    Wo = _hs_pitch_refinement(Wo, L, Sw, TWO_PI / Wo - 1, TWO_PI / Wo + 1, 0.25)
+    Wo = _hs_pitch_refinement(Wo, Sw, -5.0, 5.0, 1.0)
+    Wo = _hs_pitch_refinement(Wo, Sw, -1.0, 1.0, 0.25)
     Wo = min(max(Wo, TWO_PI / P_MAX), TWO_PI / P_MIN)
     return Wo, int(np.floor(PI / Wo))
 
@@ -371,8 +395,15 @@ def _encode_Wo(Wo):
 
 
 def _decode_Wo(index):
-    lo, hi = TWO_PI / P_MAX, TWO_PI / P_MIN
-    return lo + (hi - lo) / WO_LEVELS * index
+    # quantise.c decode_Wo computes in float32; the rounding direction of
+    # Wo decides L = (int)(PI/Wo) at harmonic-count boundaries (e.g.
+    # f32(TWO_PI/160) > exact -> L = 79 not 80), and L gates how many
+    # rand() draws the synthesis consumes — so f32 semantics are load-
+    # bearing for decode exactness.
+    f32 = np.float32
+    lo, hi = f32(TWO_PI / P_MAX), f32(TWO_PI / P_MIN)
+    step = f32((hi - lo) / f32(WO_LEVELS))
+    return float(f32(lo + step * f32(index)))
 
 
 def _encode_energy(e):
@@ -426,8 +457,38 @@ def _aks_to_H(ak, Wo, L):
     return np.concatenate([[0.0 + 0j], Am * np.exp(1j * phi)])
 
 
+class GlibcRand:
+    """glibc's default rand() (TYPE_3 additive-feedback trinomial
+    x^31 + x^3 + 1), seed 1 — the stream the reference decoder consumes
+    via libc rand() in phase.c/postfilter.c.  Verified value-exact against
+    a compiled reference (tests assert the resulting decode equality)."""
+
+    def __init__(self, seed: int = 1):
+        r = [0] * 344
+        r[0] = seed
+        for i in range(1, 31):
+            r[i] = (16807 * r[i - 1]) % 2147483647
+        for i in range(31, 34):
+            r[i] = r[i - 31]
+        for i in range(34, 344):
+            r[i] = (r[i - 31] + r[i - 3]) & 0xFFFFFFFF
+        self._r = r
+        self._i = 344
+
+    def __call__(self) -> int:
+        r = self._r
+        v = (r[self._i - 31] + r[self._i - 3]) & 0xFFFFFFFF
+        r.append(v)
+        self._i += 1
+        return v >> 1
+
+    def uniform(self, n: int) -> np.ndarray:
+        """n draws of (double)rand()/RAND_MAX in C call order."""
+        return np.array([self() for _ in range(n)], np.float64) / 2147483647.0
+
+
 class _Codec2State:
-    def __init__(self, rng_seed=0):
+    def __init__(self, rng_seed=1):
         self.Sn = np.ones(M)
         self.Sn_ = np.zeros(2 * N)
         self.nlp = Nlp()
@@ -439,15 +500,17 @@ class _Codec2State:
                                 np.zeros(int(P_MAX / 2) + 1), 0)
         self.prev_lsps = np.arange(LPC_ORD) * PI / (LPC_ORD + 1)
         self.prev_energy = 1.0
-        self.rng = np.random.default_rng(rng_seed)
+        self.rng = GlibcRand(rng_seed)
 
 
 def _analyse_one_frame(st: _Codec2State, speech):
     st.Sn[: M - N] = st.Sn[N:]
     st.Sn[M - N:] = speech
     Sw = _dft_speech(st.Sn)
-    pitch = st.nlp(st.Sn, st.prev_Wo)
-    Wo = TWO_PI / pitch
+    # C stores pitch and Wo as float32 (codec2.c analyse_one_frame); the
+    # rounding of Wo seeds the refinement grid, so it must match exactly
+    pitch = np.float32(st.nlp(st.Sn, st.prev_Wo))
+    Wo = float(np.float32(TWO_PI / float(pitch)))
     Wo, L = _two_stage_pitch_refinement(Wo, Sw)
     A, phi = _estimate_amplitudes(Wo, L, Sw)
     model = Model(Wo, L, A, phi, 0)
@@ -457,18 +520,31 @@ def _analyse_one_frame(st: _Codec2State, speech):
 
 
 def _phase_synth_zero_order(st: _Codec2State, model: Model, ak):
+    """phase.c phase_synth_zero_order with the C's float32 arithmetic on
+    everything that gates table lookups and phase values: ex_phase is a
+    float accumulator, the glottal bin and the cos/sin arguments are
+    float expressions (promoted to double only inside cos/sin)."""
+    f32 = np.float32
     H = _aks_to_H(ak, model.Wo, model.L)
-    st.ex_phase += model.Wo * N
-    st.ex_phase -= TWO_PI * np.floor(st.ex_phase / TWO_PI + 0.5)
+    Wo32 = f32(model.Wo)
+    ex = f32(f32(st.ex_phase) + f32(Wo32 * f32(N)))
+    ex = f32(ex - f32(TWO_PI * np.floor(float(ex) / TWO_PI + 0.5)))
+    st.ex_phase = float(ex)
     m = np.arange(1, model.L + 1)
     if model.voiced:
-        jitter = 0.25 * (1.0 - 2.0 * st.rng.random())
-        b = np.minimum(np.floor(m * model.Wo * 512 / TWO_PI + 0.5
-                                ).astype(int), 255)
-        Ex = np.exp(1j * (st.ex_phase * m - jitter * model.Wo * m
-                          + GLOTTAL[b]))
+        # one rand() per harmonic (phase.c:232 draws jitter INSIDE the m
+        # loop), consuming the libc stream in the reference's exact order
+        jitter = (0.25 * (1.0 - 2.0 * st.rng.uniform(model.L))).astype(f32)
+        r32 = f32(TWO_PI / 512.0)
+        mb = (m.astype(f32) * Wo32 / r32).astype(np.float64) + 0.5
+        b = np.minimum(np.floor(mb).astype(int), 255)
+        arg = (f32(ex) * m.astype(f32)
+               - (jitter * Wo32) * m.astype(f32)
+               + GLOTTAL.astype(f32)[b]).astype(np.float64)
+        Ex = np.exp(1j * arg)
     else:
-        Ex = np.exp(2j * PI * st.rng.random(model.L))
+        phi = (TWO_PI * st.rng.uniform(model.L)).astype(f32)
+        Ex = np.exp(1j * phi.astype(np.float64))
     A_ = H[1:] * Ex
     phi = np.arctan2(A_.imag, A_.real + 1e-12)
     return model._replace(phi=np.concatenate([[0.0], phi]))
@@ -483,8 +559,10 @@ def _postfilter(st: _Codec2State, model: Model):
     if model.voiced:
         low = 20 * np.log10(np.maximum(model.A[1:], 1e-30)) < st.bg_est
         if low.any():
+            # rand() consumed only for the masked harmonics, ascending m
+            # (postfilter.c:125) — assignment order IS the stream order
             phi = model.phi.copy()
-            phi[1:][low] = TWO_PI * st.rng.random(int(low.sum()))
+            phi[1:][low] = TWO_PI * st.rng.uniform(int(low.sum()))
             model = model._replace(phi=phi)
     return model
 
@@ -494,9 +572,14 @@ def _synthesise(st: _Codec2State, model: Model):
     st.Sn_[N - 1:] = 0.0
     Sw = np.zeros(FFT_DEC, np.complex128)
     if model.L > 0:
+        # sine.c synthesise: b = floor(l*Wo*FFT_DEC/TWO_PI + 0.5) with the
+        # l*Wo*FFT_DEC product in float32 (bin boundaries flip vs float64)
+        f32 = np.float32
         l = np.arange(1, model.L + 1)
-        b = np.minimum(np.floor(l * model.Wo * FFT_DEC / TWO_PI + 0.5
-                                ).astype(int), FFT_DEC // 2 - 1)
+        prod = (l.astype(f32) * f32(model.Wo) * f32(FFT_DEC)).astype(
+            np.float64)
+        b = np.minimum(np.floor(prod / TWO_PI + 0.5).astype(int),
+                       FFT_DEC // 2 - 1)
         vals = model.A[1:] * np.exp(1j * model.phi[1:])
         Sw[b] = vals             # assignment (last harmonic wins), as in C
         Sw[FFT_DEC - b] = np.conj(vals)
@@ -575,7 +658,7 @@ class Codec2:
         f = _unpack_frame(data7)
         wo_i, lsp_i, e_i, v1, v2 = f[0], f[1:11], f[11], f[12], f[13]
         Wo = _decode_Wo(wo_i)
-        L = int(PI / Wo)
+        L = int(PI / Wo)          # (int)(double PI / float Wo)
         lsps = _bw_expand_lsps(_decode_lsps(lsp_i))
         ak = _lsp_to_lpc(lsps, LPC_ORD)
         e = _decode_energy(e_i)
@@ -583,10 +666,11 @@ class Codec2:
         model = Model(Wo, L, A, np.zeros(L + 1), v2)
 
         # interpolated model for the first 10ms subframe (interp.c)
+        f32 = np.float32
         if v1:
             pv, nv = st.prev_model.voiced, v2
             if pv and nv:
-                Wo_i = (st.prev_model.Wo + Wo) / 2
+                Wo_i = float(f32((st.prev_model.Wo + Wo) / 2.0))
             elif nv:
                 Wo_i = Wo
             elif pv:
@@ -594,7 +678,7 @@ class Codec2:
             else:
                 Wo_i = float(P_MAX) / 2     # reference quirk: silent frame
         else:
-            Wo_i = TWO_PI / P_MAX
+            Wo_i = float(f32(TWO_PI / P_MAX))
         L_i = int(PI / Wo_i)
         lsps_i = (st.prev_lsps + lsps) / 2
         e_int = 10 ** ((np.log10(max(st.prev_energy, 1e-30))

@@ -1,7 +1,10 @@
-"""Codec2: near-exact encode vs reference, spectral-equivalent decode.
+"""Codec2: byte-exact encode, sample-level decode match vs the reference.
 
-The decoder's voiced-phase jitter and unvoiced phases are random in the
-reference (rand()), so decoded waveforms can only be compared spectrally.
+Encode reproduces the reference's float32 quantiser arithmetic exactly
+(100% byte-identical bits).  Decode reproduces the reference's libc rand()
+stream (glibc TYPE_3 generator, seed 1) and float32 phase/bin arithmetic,
+matching the compiled reference's output samples to within float tolerance
+(>= 50 dB; the residual is kiss_fft float32 rounding vs numpy float64).
 """
 
 import os
@@ -21,13 +24,14 @@ GOLD = np.load(os.path.join(os.path.dirname(__file__),
                             "data", "vocoder_golden.npz"))
 
 
-def test_encode_near_bit_exact():
+def test_encode_byte_exact():
     c2 = Codec2()
     bits = c2.encode(GOLD["input"])
     ref = GOLD["c2_bits"]
-    # All quantiser decisions should match except occasional float-boundary
-    # index flips (observed: > 95% of packed bytes identical).
-    assert np.mean(bits == ref) > 0.90
+    # float32 quantiser arithmetic mirrored exactly (incl. the pitch
+    # refinement grid's float accumulation): every byte identical
+    assert np.array_equal(np.asarray(bits, np.uint8),
+                          np.asarray(ref, np.uint8))
 
 
 def test_pack_unpack_roundtrip():
@@ -39,18 +43,30 @@ def test_pack_unpack_roundtrip():
         assert _unpack_frame(_pack_frame(fields)) == fields
 
 
-def test_decode_reference_bits_spectral_match():
-    dec = Codec2().decode(GOLD["c2_bits"]).astype(np.float64)
-    ref = GOLD["c2_dec"].astype(np.float64)
-    n = 256
-    f1 = dec[: len(dec) // n * n].reshape(-1, n) * np.hanning(n)
-    f2 = ref[: len(ref) // n * n].reshape(-1, n) * np.hanning(n)
-    S1 = np.abs(np.fft.rfft(f1, axis=1))
-    S2 = np.abs(np.fft.rfft(f2, axis=1))
-    corr = (np.sum(S1 * S2, axis=1)
-            / (np.sqrt(np.sum(S1 ** 2, 1) * np.sum(S2 ** 2, 1)) + 1e-12))
-    assert corr.mean() > 0.9 and corr[3:].min() > 0.7
-    assert 0.8 < np.std(dec) / np.std(ref) < 1.25
+def test_decode_reference_bits_sample_match():
+    """Decode of the reference bitstream matches the compiled reference's
+    output SAMPLES: the libc rand() stream (glibc TYPE_3, seed 1) is
+    reproduced draw-for-draw and the float32 phase/bin arithmetic
+    mirrored; the residual is FFT rounding (kiss_fft f32 vs numpy f64)."""
+    dec = Codec2().decode(GOLD["c2_bits"]).astype(np.int64)
+    ref = GOLD["c2_dec"].astype(np.int64)
+    n = min(len(dec), len(ref))
+    err = (dec[:n] - ref[:n]).astype(np.float64)
+    snr = 10 * np.log10((ref[:n].astype(np.float64) ** 2).mean()
+                        / max((err ** 2).mean(), 1e-12))
+    assert snr > 50.0, snr
+    assert np.abs(err).max() < 64
+    assert (np.abs(err) <= 1).mean() > 0.6
+
+
+def test_glibc_rand_stream():
+    """The decoder's RNG is glibc's rand() exactly (first values of the
+    seed-1 stream, verified against a compiled libc program)."""
+    from grtpu.vocoder.codec2 import GlibcRand
+
+    g = GlibcRand(1)
+    assert [g() for _ in range(5)] == [
+        1804289383, 846930886, 1681692777, 1714636915, 1957747793]
 
 
 def test_roundtrip_preserves_spectrum_at_least_as_well_as_reference():
