@@ -48,10 +48,19 @@ class FirFilter(Block):
         # FFT path wins for long filters (VPU FFT flops < matmul overhead)
         if impl == "auto":
             impl = "fft" if len(taps) >= 128 and decimation == 1 else "mxu"
+        if impl == "pallas" and (sig != "fff" or decimation != 1):
+            raise ValueError("impl='pallas' supports fff decim=1 streams "
+                             "(the VMEM long-FIR kernel)")
         self.impl = impl
         self._out_cast = _dt(out_t)
 
     def apply(self, state, x):
+        if self.impl == "pallas":
+            # grtpu.ops.pallas_fir.fir_long: VMEM-resident MXU kernel,
+            # efficiency K/(K+127) — the choice for long/composed filters
+            from grtpu.ops.pallas_fir import fir_long
+
+            return state, fir_long(x, self.taps).astype(self._out_cast)
         f = _fftfir if self.impl == "fft" else _fir
         y = f(x, self.taps, self.decim)
         if self._out_cast == jnp.int16:

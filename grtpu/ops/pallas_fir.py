@@ -246,3 +246,94 @@ def fir_cascade(x: jnp.ndarray, taps: np.ndarray, nstages: int,
         interpret=interpret,
     )(x2, tmat_hi, tmat_lo)
     return y.reshape(b, -1)[:, :n]
+
+
+def fir_long(x: jnp.ndarray, taps: np.ndarray,
+             tile_rows: int = 1024, interpret: bool = False,
+             precision: str = "bf16x3") -> jnp.ndarray:
+    """History-carrying single-stage Pallas FIR, flowgraph-compatible.
+
+    The grtpu.ops.fir.fir_filter contract (executor halo convention):
+    ``x`` carries K-1 leading history samples and the output has
+    ``len(x) - K + 1`` samples, ``y[i] = sum_k taps[k] x[i + K-1 - k]``.
+    Routes through the VMEM cascade kernel's single-stage fast path — the
+    MXU-efficient choice for LONG filters (window efficiency
+    K/(K+127): 80% at 513 taps, 97% at 4097) and the target of the
+    FIR-chain fusion pass (grtpu.runtime.optimize).
+
+    f32 streams / real taps only (the complex decomposition composes this
+    four ways like ops.fir._matmul if needed).
+    """
+    taps = np.asarray(taps, np.float32)
+    k = len(taps)
+    n = x.shape[0] - (k - 1)
+    nh = _halo_rows(k)
+    halo = nh * LANE
+    # place the real history where the kernel's zero-halo normally sits:
+    # prepend (halo - (k-1)) zeros so sample 0 of the output aligns
+    xp = jnp.concatenate([jnp.zeros(halo - (k - 1), x.dtype), x])
+    # ensure the tile grid covers n outputs
+    rows = -(-n // LANE)
+    need = halo + rows * LANE
+    if xp.shape[0] < need:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros(need - xp.shape[0], x.dtype)])
+    else:
+        xp = xp[:need]
+    y = _single_stage(xp[None, :], taps, tile_rows, interpret, precision,
+                      nh)
+    return y[0, :n]
+
+
+def _single_stage(xp, taps, tile_rows, interpret, precision, nh):
+    """Run the cascade kernel with pre-supplied halo samples (xp already
+    contains nh*LANE leading context) on a (1, halo + rows*LANE) array."""
+    b, total = xp.shape
+    halo = nh * LANE
+    rows = (total - halo) // LANE
+    tile_rows = min(tile_rows, _round8(rows))
+    ntiles = -(-rows // tile_rows)
+    halo_alloc = _round8(nh)
+    pad_rows = ntiles * tile_rows - rows
+    extra = (halo_alloc - nh) * LANE
+    x2 = jnp.pad(xp, ((0, 0), (extra, pad_rows * LANE)))
+    x2 = x2.reshape(b, rows + halo_alloc + pad_rows, LANE)
+
+    T = _tap_matrix_np(_pad_taps(taps)[::-1].copy())
+    if precision in ("bf16x3", "bf16"):
+        th = jnp.asarray(T).astype(jnp.bfloat16)
+        tl = (jnp.asarray(T) - th.astype(jnp.float32)).astype(jnp.bfloat16)
+        tmat_hi, tmat_lo = th, tl
+    else:
+        tmat_hi = jnp.asarray(T)
+        tmat_lo = jnp.asarray(np.zeros_like(T))
+    R = tile_rows + halo_alloc
+    kern = functools.partial(_cascade_kernel, nstages=1,
+                             tile_rows=tile_rows, halo_alloc=halo_alloc,
+                             precision=precision, nbatch=b, ntiles=ntiles,
+                             nh=nh)
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, ntiles * tile_rows, LANE),
+                                       jnp.float32),
+        grid=(b, ntiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(((nh + 1) * LANE, LANE), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(((nh + 1) * LANE, LANE), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_rows, LANE), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, LANE), jnp.float32),
+            pltpu.VMEM((8 if precision != "f32" else R + _round8(nh), LANE),
+                       jnp.float32),
+            pltpu.VMEM((R + _round8(nh), LANE), jnp.bfloat16),
+            pltpu.VMEM((R + _round8(nh), LANE), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x2, tmat_hi, tmat_lo)
+    return y.reshape(b, -1)

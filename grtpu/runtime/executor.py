@@ -93,8 +93,15 @@ class StreamExecutor:
         vr_chunks: Optional[Dict[Any, int]] = None,
         donate: bool = True,
         debug_taps: bool = False,
+        fuse_firs: bool = False,
     ):
         self.flat = graph.flatten() if isinstance(graph, Graph) else graph
+        if fuse_firs:
+            # algebraic LTI fusion (grtpu.runtime.optimize): adjacent
+            # FirFilter chains collapse into composed filters before tracing
+            from grtpu.runtime.optimize import fuse_fir_chains
+
+            self.flat = fuse_fir_chains(self.flat)
         self.order = self.flat.topological_order()
         self.debug_taps = debug_taps
         self.edge_data: Dict[str, Any] = {}
