@@ -245,33 +245,33 @@ def arb_resample(x: jnp.ndarray, proto_taps: np.ndarray, rate: Fraction,
     i, ph, frac, n_out = arb_resampler_plan(rate, n, filter_size)
     bank_r = bank[:, ::-1].copy()
     dbank_r = dbank[:, ::-1].copy()
+    # Gather-free for ANY rational rate: outputs k = r (mod P) share the
+    # same (phase, frac) and advance Q input samples per period, so one
+    # resampling period is a single (M, span) @ (span, P) matmul — W is a
+    # strided-view window matrix (span static slices, never an index
+    # gather: TPU gathers are catastrophically slow, see CLAUDE.md), and
+    # column r of T holds that residue's interpolated taps at its input
+    # offset.  Useful-flop efficiency is kp/span, but it rides the MXU;
+    # the old gather form was ~500x slower at P > 64 and the old unrolled
+    # form compiled P*kp slices.
     P, Q = rate.numerator, rate.denominator
-    if P <= 64 and n_out % P == 0:
-        # gather-free: outputs k = r (mod P) share the same (phase, frac)
-        # and advance Q input samples per period — each (r, j) term is one
-        # strided slice of x (TPU gathers are catastrophically slow).
-        M = n_out // P
-        parts = []
-        for r in range(P):
-            ir, phr, fr = int(i[r]), int(ph[r]), float(frac[r])
-            taps_eff = bank_r[phr] + fr * dbank_r[phr]
-            acc = None
-            for j in range(kp):
-                sl = jax.lax.dynamic_slice_in_dim(x, ir + j, (M - 1) * Q + 1)
-                term = sl[::Q] * float(taps_eff[j]) if not np.iscomplexobj(
-                    taps_eff) else sl[::Q] * complex(taps_eff[j])
-                acc = term if acc is None else acc + term
-            parts.append(acc)
-        y = jnp.stack(parts, axis=1).reshape(-1)
-        return y.astype(x.dtype)
-    # general path: window gather (large P)
-    idx = jnp.asarray(i)[:, None] + jnp.arange(kp)[None, :]
-    w = x[idx]  # (n_out, kp)
-    bk = jnp.asarray(bank_r)[jnp.asarray(ph)]
-    dk = jnp.asarray(dbank_r)[jnp.asarray(ph)]
-    y0 = (w * bk).sum(axis=1)
-    y1 = (w * dk).sum(axis=1)
-    return (y0 + jnp.asarray(frac) * y1).astype(x.dtype)
+    M = -(-n_out // P)
+    span = int(i[P - 1]) + kp if n_out >= P else int(i[-1]) + kp
+    need = (M - 1) * Q + span
+    if x.shape[0] < need:
+        x = jnp.concatenate(
+            [x, jnp.zeros(need - x.shape[0], x.dtype)])
+    W = jnp.stack(
+        [jax.lax.slice_in_dim(x, d, d + (M - 1) * Q + 1, Q)
+         for d in range(span)], axis=1)          # (M, span) shifted views
+    T = np.zeros((span, P), np.float32)
+    for r in range(P):
+        ir, phr, fr = int(i[r]), int(ph[r]), float(frac[r])
+        T[ir: ir + kp, r] = bank_r[phr] + fr * dbank_r[phr]
+    from grtpu.ops.fir import _matmul
+
+    y = _matmul(W, jnp.asarray(T)).reshape(-1)[:n_out]
+    return y.astype(x.dtype)
 
 
 def design_arb_resampler_taps(rate: float, filter_size: int = 32) -> np.ndarray:
