@@ -22,6 +22,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 
 BENCHES = [
+    "executor_overhead_bench.py",
     "wfm_bench.py",
     "channelizer_bench.py",
     "dmr_bench.py",

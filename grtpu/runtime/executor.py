@@ -790,6 +790,17 @@ class StreamExecutor:
         *nominal* rate — the same approximation the reference makes when a
         block updates tags with set_relative_rate but consumes variably.
         """
+        if not tagsrc and not any(self._tags.values()):
+            # fast path: no tags anywhere in flight — the host control
+            # plane must stay negligible next to a >1 Gsps data plane
+            # (benchmarks/executor_overhead_bench.py measures this)
+            for b in self.order:
+                self.nitems[b.name] += self.block_nin[b.uid]
+                self.nitems_out[b.name] += (
+                    self.block_nin[b.uid] // b.decim * b.interp
+                    if not b.variable_rate else
+                    int(self.block_nin[b.uid] * b.nominal_rate))
+            return
         byname = {b.name: b for b in self.order}
         for name, (ins, outs) in (tagsrc or {}).items():
             b = byname[name]
