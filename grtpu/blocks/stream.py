@@ -114,25 +114,34 @@ class Delay(Block):
 
 
 class SkipHead(Block):
-    """gr_skiphead analog: suppress the first N items.
+    """gr_skiphead: suppress the first N items.
 
-    Divergence from the reference: gr_skiphead COMPACTS the stream (output
-    is N items shorter), which is not expressible under static per-chunk
-    rates.  Here the first N items are zero-masked in place; consumers
-    wanting the compacted stream slice host-side (``sink.data()[N:]``) —
-    the same finite-run idiom as :class:`Head`."""
+    compact=True gives the reference's exact semantics (the output stream
+    IS N items shorter) via the executor's first-class variable-rate
+    machinery: the chunk is rotated so the surviving items form a valid
+    prefix and n_valid counts them.  The default keeps round-1's
+    fixed-rate zero-mask form (consumers slice ``sink.data()[N:]``)."""
 
-    def __init__(self, n: int, dtype=jnp.float32, vlen: int = 1, name=None):
+    def __init__(self, n: int, dtype=jnp.float32, vlen: int = 1,
+                 compact: bool = False, name=None):
         self.in_ports = (Port(dtype, vlen),)
         self.out_ports = (Port(dtype, vlen),)
+        self.variable_rate = bool(compact)
         super().__init__(name)
         self.n = n
+
+    def max_out_for(self, n_delivered: int) -> int:
+        return n_delivered
 
     def init_state(self):
         return jnp.zeros((), jnp.int32)
 
     def apply(self, state, x):
         n = x.shape[0]
+        if self.variable_rate:
+            skip = jnp.clip(self.n - state, 0, n)
+            y = jnp.roll(x, -skip, axis=0)
+            return state + n, (y, (n - skip).astype(jnp.int32))
         pos = state + jnp.arange(n)
         mask = pos >= self.n
         if x.ndim > 1:
@@ -141,19 +150,32 @@ class SkipHead(Block):
 
 
 class Head(Block):
-    """gr_head: pass the first N items, zero afterwards (see module doc)."""
+    """gr_head: pass the first N items.
 
-    def __init__(self, n: int, dtype=jnp.float32, vlen: int = 1, name=None):
+    compact=True gives the reference's exact finite-run semantics (the
+    output stream ENDS after N items — downstream sinks receive exactly N)
+    as a first-class variable-rate block; the default keeps the fixed-rate
+    zero-after-N form."""
+
+    def __init__(self, n: int, dtype=jnp.float32, vlen: int = 1,
+                 compact: bool = False, name=None):
         self.in_ports = (Port(dtype, vlen),)
         self.out_ports = (Port(dtype, vlen),)
+        self.variable_rate = bool(compact)
         super().__init__(name)
         self.n = n
+
+    def max_out_for(self, n_delivered: int) -> int:
+        return n_delivered
 
     def init_state(self):
         return jnp.zeros((), jnp.int32)
 
     def apply(self, state, x):
         n = x.shape[0]
+        if self.variable_rate:
+            n_valid = jnp.clip(self.n - state, 0, n).astype(jnp.int32)
+            return state + n, (x, n_valid)
         pos = state + jnp.arange(n)
         mask = pos < self.n
         if x.ndim > 1:

@@ -271,3 +271,65 @@ class GenericDemodBlock(HierBlock):
         chain.append(UnpackKBits(k))
         g.connect(pin, *chain, pout)
         self.constellation = constellation
+
+
+class GmskModBlock(HierBlock):
+    """gmsk.py gmsk_mod (:108-120) as a stream hier block: packed bytes ->
+    NRZ symbols -> Gaussian-filtered interpolation -> frequency modulator
+    at h=0.5 (sensitivity pi/2 per symbol)."""
+
+    def __init__(self, samples_per_symbol: int = 2, bt: float = 0.35,
+                 name=None):
+        super().__init__(name)
+        from grtpu.blocks.analog import FrequencyModulator
+        from grtpu.blocks.filter import InterpFirFilter
+        from grtpu.digital.blocks import BytesToSyms
+
+        sps = int(samples_per_symbol)
+        ntaps = 4 * sps
+        gauss = firdes.gaussian(1.0, sps, bt, ntaps)
+        g = self.graph
+        pin = g.add_input(Port(jnp.uint8))
+        pout = g.add_output(Port(jnp.complex64))
+        g.connect(pin, BytesToSyms(),
+                  InterpFirFilter(sps, gauss, "fff"),
+                  _F32ToC64FreqMod(sps), pout)
+        self.sps = sps
+
+
+class _F32ToC64FreqMod(HierBlock):
+    """frequency_modulator_fc at GMSK sensitivity (pi/2)/sps."""
+
+    def __init__(self, sps: int, name=None):
+        super().__init__(name)
+        from grtpu.blocks.analog import FrequencyModulator
+
+        g = self.graph
+        pin = g.add_input(Port(jnp.float32))
+        pout = g.add_output(Port(jnp.complex64))
+        g.connect(pin, FrequencyModulator((np.pi / 2.0) / sps), pout)
+
+
+class GmskDemodBlock(HierBlock):
+    """gmsk.py gmsk_demod (:227-245) as a stream hier block:
+    quadrature_demod -> clock_recovery_mm_ff (first-class variable rate)
+    -> binary_slicer.  Emits one bit byte per recovered symbol."""
+
+    def __init__(self, samples_per_symbol: int = 2, gain_mu: float = 0.175,
+                 mu: float = 0.5, omega_relative_limit: float = 0.005,
+                 freq_error: float = 0.0, name=None):
+        super().__init__(name)
+        from grtpu.blocks.analog import QuadratureDemod
+        from grtpu.digital.blocks import BinarySlicer, ClockRecoveryMMFF
+
+        sps = int(samples_per_symbol)
+        omega = sps * (1 + freq_error)
+        gain_omega = 0.25 * gain_mu * gain_mu
+        g = self.graph
+        pin = g.add_input(Port(jnp.complex64))
+        pout = g.add_output(Port(jnp.uint8))
+        g.connect(pin, QuadratureDemod(1.0),
+                  ClockRecoveryMMFF(omega, gain_omega, mu, gain_mu,
+                                    omega_relative_limit),
+                  BinarySlicer(), pout)
+        self.sps = sps

@@ -270,6 +270,11 @@ def _populate():
     r("blks2_cvsd_decode", _cvsd("dec"))
     r("gr_channel_model", channel.ChannelModel)
     r("gr_pfb_clock_sync", pfb.PfbClockSync)
+    from grtpu.digital import generic_mod_demod as gmd
+    r("blks2_gmsk_mod", gmd.GmskModBlock)
+    r("blks2_gmsk_demod", gmd.GmskDemodBlock)
+    r("blks2_dxpsk_mod", gmd.GenericModBlock)
+    r("blks2_dxpsk_demod", gmd.GenericDemodBlock)
 
 
 def _cvsd(kind):

@@ -330,3 +330,61 @@ class TestCheckpointValidation:
         ex2 = build(2)
         with pytest.raises(ValueError, match="does not match|leaf|leaves"):
             ex2.load_checkpoint(path)
+
+
+class TestGmskHierChain:
+    """gmsk.py's mod/demod chains as stream hier blocks end-to-end
+    (quadrature_demod -> first-class M&M -> slicer)."""
+
+    def test_gmsk_loopback_through_graph(self):
+        from grtpu.digital.generic_mod_demod import (GmskDemodBlock,
+                                                     GmskModBlock)
+
+        rng = np.random.default_rng(21)
+        data = rng.integers(0, 256, 400).astype(np.uint8)
+        g = Graph()
+        pin = g.add_input(Port(jnp.uint8))
+        pout = g.add_output(Port(jnp.uint8))
+        g.connect(pin, GmskModBlock(samples_per_symbol=2),
+                  GmskDemodBlock(samples_per_symbol=2), pout)
+        ex = StreamExecutor(g, chunk_size=200)
+        bits_out = np.asarray(ex.run(data))
+        bits_in = np.unpackbits(data)
+        # GMSK Gaussian ISI + MM lock: align and compare steady state
+        best = max(
+            ((bits_out[200:2800] == bits_in[200 - lag:2800 - lag]).mean(),
+             lag) for lag in range(0, 12))
+        assert best[0] > 0.995, best
+
+
+class TestCompactHeadSkipHead:
+    """gr_head/gr_skiphead with the reference's exact compacting semantics
+    (first-class variable rate)."""
+
+    def test_head_compact_ends_stream(self):
+        from grtpu.blocks.stream import Head
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        pout = g.add_output(Port(jnp.float32))
+        g.connect(pin, Head(300, dtype=jnp.float32, compact=True), pout)
+        ex = StreamExecutor(g, chunk_size=128, vr_chunks=None)
+        x = np.arange(1024, dtype=np.float32)
+        y = np.asarray(ex.run(x))
+        # exactly the first 300 items, nothing after (modulo emission size)
+        assert len(y) <= 300
+        np.testing.assert_array_equal(y, x[: len(y)])
+        assert 300 - len(y) < ex.vr_emit[ex.vr_blocks[0].uid]
+
+    def test_skiphead_compact_drops_prefix(self):
+        from grtpu.blocks.stream import SkipHead
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        pout = g.add_output(Port(jnp.float32))
+        g.connect(pin, SkipHead(100, dtype=jnp.float32, compact=True), pout)
+        ex = StreamExecutor(g, chunk_size=128)
+        x = np.arange(1024, dtype=np.float32)
+        y = np.asarray(ex.run(x))
+        np.testing.assert_array_equal(y, x[100: 100 + len(y)])
+        assert len(y) > 1024 - 100 - 130
