@@ -27,6 +27,7 @@ BENCHES = [
     "channelizer_bench.py",
     "dmr_bench.py",
     "mm_bench.py",
+    "resampler_bench.py",
     "trellis_bench.py",
 ]
 
