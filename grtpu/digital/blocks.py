@@ -22,17 +22,19 @@ from grtpu.ops.mmse_interp import NTAPS
 class CostasLoop(Block):
     """digital_costas_loop_cc."""
 
-    def __init__(self, loop_bw: float, order: int, name=None):
+    def __init__(self, loop_bw: float, order: int, gains=None, name=None):
         self.in_ports = (Port(jnp.complex64),)
         self.out_ports = (Port(jnp.complex64),)
         super().__init__(name)
         self.loop_bw, self.order = loop_bw, order
+        self.gains = gains
 
     def init_state(self):
         return loops.costas_init_state()
 
     def apply(self, state, x):
-        y, st = loops.costas_loop(x, state, self.loop_bw, self.order)
+        y, st = loops.costas_loop(x, state, self.loop_bw, self.order,
+                                  self.gains)
         return st, y
 
 
@@ -40,20 +42,22 @@ class FllBandEdge(Block):
     """digital_fll_band_edge_cc."""
 
     def __init__(self, samps_per_sym: float, rolloff: float,
-                 filter_size: int, loop_bw: float, name=None):
+                 filter_size: int, loop_bw: float, gains=None, name=None):
         self.in_ports = (Port(jnp.complex64),)
         self.out_ports = (Port(jnp.complex64),)
         self.history = filter_size
         super().__init__(name)
         self.sps, self.rolloff = samps_per_sym, rolloff
         self.filter_size, self.loop_bw = filter_size, loop_bw
+        self.gains = gains
 
     def init_state(self):
         return loops.fll_init_state()
 
     def apply(self, state, x):
         y, st = loops.fll_band_edge(x, state, self.sps, self.rolloff,
-                                    self.filter_size, self.loop_bw)
+                                    self.filter_size, self.loop_bw,
+                                    self.gains)
         return st, y
 
 

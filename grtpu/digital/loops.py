@@ -60,11 +60,14 @@ def costas_phase_detector(order: int):
     return det
 
 
-def costas_loop(x: jnp.ndarray, state, loop_bw: float, order: int):
+def costas_loop(x: jnp.ndarray, state, loop_bw: float, order: int,
+                gains=None):
     """Carrier-tracking derotation.  state = (phase, freq).
 
-    Returns (y, (phase, freq))."""
-    alpha, beta = dsp.control_loop_gains(loop_bw)
+    gains=(alpha, beta) overrides the loop-bandwidth derivation (the 3.5
+    API exposes raw gains).  Returns (y, (phase, freq))."""
+    alpha, beta = gains if gains is not None else \
+        dsp.control_loop_gains(loop_bw)
     det = costas_phase_detector(order)
 
     def f(carry, xi):
@@ -225,15 +228,18 @@ def band_edge_taps(samps_per_sym: float, rolloff: float, filter_size: int):
 
 
 def fll_band_edge(x: jnp.ndarray, state, samps_per_sym: float,
-                  rolloff: float, filter_size: int, loop_bw: float):
+                  rolloff: float, filter_size: int, loop_bw: float,
+                  gains=None):
     """FLL: rotate by NCO, filter with band-edge pair, freq error =
     |upper|^2 - |lower|^2, update 2nd-order loop.  state = (phase, freq).
 
     Sequential scan with an 8..filter_size-sample dot per step (the filters
     must see the *rotated* signal — true feedback).  Input carries
-    filter_size-1 history samples.
+    filter_size-1 history samples.  gains=(alpha, beta) overrides the
+    bandwidth derivation (3.5 raw-gain API).
     """
-    alpha, beta = dsp.control_loop_gains(loop_bw)
+    alpha, beta = gains if gains is not None else \
+        dsp.control_loop_gains(loop_bw)
     up, lo = band_edge_taps(samps_per_sym, rolloff, filter_size)
     upj, loj = jnp.asarray(up), jnp.asarray(lo)
     K = filter_size

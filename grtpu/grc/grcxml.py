@@ -384,9 +384,28 @@ def _agc2(p, env, **kw):
 @adapter("gr_costas_loop_cc")
 def _costas(p, env, **kw):
     from grtpu.digital.blocks import CostasLoop
-    # 3.5 grc exposes alpha/beta or w (loop bw) depending on vintage
-    bw = p.get("w") or p.get("loop_bw") or p.get("alpha") or "0.05"
-    return CostasLoop(float(_ev(bw, env)), int(_ev(p["order"], env)))
+    # 3.5 grc exposes raw alpha/beta gains; later vintages a loop bandwidth
+    gains = None
+    bw = 0.05
+    if "alpha" in p and "beta" in p:
+        gains = (float(_ev(p["alpha"], env)), float(_ev(p["beta"], env)))
+    elif p.get("w") or p.get("loop_bw"):
+        bw = float(_ev(p.get("w") or p["loop_bw"], env))
+    return CostasLoop(bw, int(_ev(p["order"], env)), gains=gains)
+
+
+@adapter("gr_fll_band_edge_cc")
+def _fll(p, env, **kw):
+    from grtpu.digital.blocks import FllBandEdge
+    gains = None
+    bw = 0.035
+    if "alpha" in p and "beta" in p:
+        gains = (float(_ev(p["alpha"], env)), float(_ev(p["beta"], env)))
+    elif p.get("w") or p.get("loop_bw"):
+        bw = float(_ev(p.get("w") or p["loop_bw"], env))
+    return FllBandEdge(float(_ev(p["samps_per_sym"], env)),
+                       float(_ev(p["rolloff"], env)),
+                       int(_ev(p["filter_size"], env)), bw, gains=gains)
 
 
 @adapter("gr_clock_recovery_mm_xx")
@@ -432,6 +451,29 @@ def _dxpsk_mod(p, env, **kw):
         excess_bw=float(_ev(p.get("excess_bw", "0.35"), env)),
         differential=True,
         gray_code=bool(_ev(p.get("gray_code", "True"), env)))
+
+
+@adapter("blks2_packet_encoder")
+def _pkt_enc(p, env, **kw):
+    from grtpu.digital.packet_blocks import PacketEncoder
+    ac = p.get("access_code") or ""
+    return PacketEncoder(
+        p.get("type", "float"),
+        int(_ev(p.get("payload_length", "0"), env) or 0) or 256,
+        access_code=([int(c) for c in ac] if ac else None),
+        samples_per_symbol=int(_ev(p.get("samples_per_symbol", "2"), env)),
+        bits_per_symbol=int(_ev(p.get("bits_per_symbol", "1"), env)))
+
+
+@adapter("blks2_packet_decoder")
+def _pkt_dec(p, env, **kw):
+    from grtpu.digital.packet_blocks import PacketDecoder
+    ac = p.get("access_code") or ""
+    return PacketDecoder(
+        p.get("type", "float"),
+        int(_ev(p.get("payload_length", "0"), env) or 0) or 256,
+        access_code=([int(c) for c in ac] if ac else None),
+        threshold=int(_ev(p.get("threshold", "-1"), env) or -1))
 
 
 @adapter("blks2_dxpsk_demod", "blks2_dbpsk_demod", "blks2_dqpsk_demod",
@@ -743,11 +785,34 @@ def load_grc(path: str, overrides: Optional[Dict[str, Any]] = None):
     options to the generated script)."""
     options, env_blocks, blocks, connections = parse_grc(path)
     env = build_env(env_blocks, overrides)
+    # resolve virtual_source/virtual_sink stream aliases
+    # (grc_gnuradio/blks2: a named edge without a wire)
+    vsink, vsrc = {}, {}
+    real_blocks = []
+    for key, bid, params in blocks:
+        # stream_id is a raw label, not an expression
+        if key == "virtual_sink":
+            vsink[bid] = params.get("stream_id") or bid
+        elif key == "virtual_source":
+            vsrc[bid] = params.get("stream_id") or bid
+        else:
+            real_blocks.append((key, bid, params))
+    stream_src = {}
+    for s, sp, d, dp in connections:
+        if d in vsink:
+            stream_src[vsink[d]] = (s, sp)
+    resolved = []
+    for s, sp, d, dp in connections:
+        if d in vsink:
+            continue
+        if s in vsrc:
+            s, sp = stream_src[vsrc[s]]
+        resolved.append((s, sp, d, dp))
     g = Graph(options.get("id", "grc_flowgraph"))
     byid: Dict[str, Any] = {}
-    for key, bid, params in blocks:
+    for key, bid, params in real_blocks:
         byid[bid] = make_block(key, bid, params, env)
-    for s, sp, d, dp in connections:
+    for s, sp, d, dp in resolved:
         g.connect((byid[s], sp), (byid[d], dp))
     return g, byid, options, env
 

@@ -241,8 +241,11 @@ def _populate():
     r("gr_pn_correlator_cc", correlate.PnCorrelator)
     r("gr_simple_framer", correlate.SimpleFramer)
     r("gr_simple_correlator", correlate.SimpleCorrelator)
-    r("blks2_packet_encoder", pkt.ModPkts)
-    r("blks2_packet_decoder", pkt.DemodPkts)
+    from grtpu.digital import packet_blocks as pblk
+    r("blks2_packet_encoder", pblk.PacketEncoder)   # streaming form
+    r("blks2_packet_decoder", pblk.PacketDecoder)
+    r("blks2_mod_pkts", pkt.ModPkts)                # message-queue form
+    r("blks2_demod_pkts", pkt.DemodPkts)
     # ---- fft / spectral --------------------------------------------------
     r("gr_fft_vxx", fftblk.FftVcc)
     r("blks2_logpwrfft_x", fftblk.LogPwrFft)

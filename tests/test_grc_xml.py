@@ -90,3 +90,39 @@ class TestGrcExecution:
         assert const.dtype == np.complex64 and len(const) > 10000
         # RRC-shaped DQPSK through a clean-ish channel: bounded envelope
         assert 0.1 < np.abs(const).mean() < 10
+
+
+@needs_ref
+class TestMoreReferenceFlowgraphs:
+    """Second wave of unmodified reference flowgraphs."""
+
+    def test_variable_config(self):
+        ex, byid = run_grc(f"{REF}/grc/simple/variable_config.grc", steps=1)
+
+    def test_digital_freq_lock(self):
+        """fll_band_edge with the 3.5 raw alpha/beta gain params."""
+        ex, byid = run_grc(f"{REF}/grc/demod/digital_freq_lock.grc", steps=1)
+        assert any(getattr(b, "captured", None) for b in byid.values())
+
+    def test_pam_sync_virtual_streams(self):
+        """virtual_source/virtual_sink stream aliases + agc->fll->
+        pfb_clock_sync->costas chain."""
+        ex, byid = run_grc(f"{REF}/grc/demod/pam_sync.grc", steps=1)
+        scope = np.asarray(byid["wxgui_scopesink2_0"].captured[0])
+        assert len(scope) > 1000
+
+    def test_dpsk_loopback_packets(self):
+        """The full digital loopback: sig source -> packet encoder ->
+        DBPSK mod -> DBPSK demod -> packet decoder -> scope; only
+        CRC-valid payloads reach the sink."""
+        ex, byid = run_grc(f"{REF}/grc/simple/dpsk_loopback.grc", steps=2)
+        out = np.asarray(byid["wxgui_scopesink2_0"].captured[0])
+        assert len(out) > 2000
+        # recovered stream is the 350 Hz sine payload (bit-exact payloads:
+        # the decoder CRC-gates) — verify spectral purity
+        seg = out[256: 256 + 2048]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f = np.fft.rfftfreq(len(seg), 1.0 / 32000)
+        peak = f[np.argmax(spec[1:]) + 1]
+        # the flowgraph's source is samp_rate/20 = 1600 Hz
+        assert abs(peak - 1600) < 32000 / len(seg) * 2, peak

@@ -388,3 +388,58 @@ class TestCompactHeadSkipHead:
         y = np.asarray(ex.run(x))
         np.testing.assert_array_equal(y, x[100: 100 + len(y)])
         assert len(y) > 1024 - 100 - 130
+
+
+class TestPacketBlocks:
+    """Streaming blks2 packet encoder/decoder (packet.py packet_mod_X /
+    packet_demod_X): in-graph framing with CRC-gated variable-rate payload
+    recovery."""
+
+    def test_float_stream_roundtrip(self):
+        from grtpu.digital.packet_blocks import PacketDecoder, PacketEncoder
+        from grtpu.blocks.gengen import PackedToUnpacked
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(2048).astype(np.float32)
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        pout = g.add_output(Port(jnp.float32))
+        g.connect(pin, PacketEncoder("float", payload_length=64),
+                  PackedToUnpacked(1),
+                  PacketDecoder("float", payload_length=64), pout)
+        ex = StreamExecutor(g, chunk_size=256)
+        y = np.asarray(ex.run(x))
+        assert len(y) > 1500
+        np.testing.assert_array_equal(y, x[: len(y)])
+
+    def test_corrupted_packet_dropped(self):
+        from grtpu.digital.packet_blocks import PacketDecoder, PacketEncoder
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(512).astype(np.float32)
+        enc = PacketEncoder("float", payload_length=64)
+        st, by = enc.apply((), jnp.asarray(x))
+        bits = np.unpackbits(np.asarray(by).astype(np.uint8))
+        # corrupt one payload bit in packet 2
+        pkt_bits = len(bits) // (512 // 16)
+        bits = bits.copy()
+        bits[pkt_bits * 1 + 140] ^= 1
+        dec = PacketDecoder("float", payload_length=64)
+        g = Graph()
+        pin = g.add_input(Port(jnp.uint8))
+        pout = g.add_output(Port(jnp.float32))
+        g.connect(pin, dec, pout)
+        ex = StreamExecutor(g, chunk_size=len(bits))
+        y = np.asarray(ex.run(bits.astype(np.uint8)))
+        per = 16  # floats per packet
+        # one packet dropped, the rest recovered exactly in order
+        assert len(y) <= len(x) - per
+        src_pkts = [x[i * per:(i + 1) * per] for i in range(len(x) // per)]
+        got_pkts = [y[i * per:(i + 1) * per] for i in range(len(y) // per)]
+        si = 0
+        for gp in got_pkts:
+            while si < len(src_pkts) and not np.array_equal(
+                    gp, src_pkts[si]):
+                si += 1
+            assert si < len(src_pkts), "recovered packet not in source"
+            si += 1
