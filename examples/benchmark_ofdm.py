@@ -6,6 +6,8 @@ OFDM stack, including the dmr fork's channel-estimate export
 reports BER AND the per-subcarrier channel magnitudes.
 
 Run: python examples/benchmark_ofdm.py --snr 18 --frames 4 --multipath
+     python examples/benchmark_ofdm.py --curve        # BER vs SNR, burst
+                                                      # AND streaming rx
 """
 
 import argparse
@@ -26,7 +28,13 @@ def main():
     ap.add_argument("--cfo", type=float, default=0.002)
     ap.add_argument("--multipath", action="store_true")
     ap.add_argument("--fft", type=int, default=64)
+    ap.add_argument("--curve", action="store_true",
+                    help="BER-vs-SNR curve: burst modem vs the streaming "
+                         "OfdmReceiver graph (VERDICT item: the curve must "
+                         "match the burst modem)")
     args = ap.parse_args()
+    if args.curve:
+        return curve(args)
 
     m = OfdmModem(fft_len=args.fft, occupied=48)
     rng = np.random.RandomState(0)
@@ -58,6 +66,77 @@ def main():
     print(f"\n{ok}/{total} frames under 2% BER "
           f"(SNR {args.snr} dB, CFO {args.cfo}, "
           f"{'multipath' if args.multipath else 'flat'} channel)")
+
+
+def _make_burst(m, rng, nsym, snr_db, cfo, h, gap):
+    bits = rng.randint(0, 2, nsym * 48 * 2).astype(np.uint8)
+    tx = np.asarray(m.modulate(bits))
+    sig = np.convolve(tx, h)[: len(tx)]
+    sig = np.concatenate([np.zeros(gap, np.complex64), sig])
+    sig = sig * np.exp(1j * cfo * np.arange(len(sig)))
+    p = (np.abs(tx) ** 2).mean()
+    n0 = p / 10 ** (snr_db / 10)
+    sig = (sig + (rng.randn(len(sig)) + 1j * rng.randn(len(sig)))
+           * np.sqrt(n0 / 2)).astype(np.complex64)
+    return bits, sig
+
+
+def curve(args, snrs=(8, 12, 16, 20, 25)):
+    """BER vs SNR for (a) the burst OfdmModem and (b) the streaming
+    OfdmReceiver graph — the two paths must track each other."""
+    import json
+
+    import jax.numpy as jnp
+
+    from grtpu.digital.ofdm import OfdmFrameSink, OfdmReceiver
+    from grtpu.runtime.block import Port
+    from grtpu.runtime.executor import StreamExecutor
+    from grtpu.runtime.graph import Graph
+
+    m = OfdmModem(fft_len=args.fft, occupied=48)
+    nsym = args.symbols
+    h = (np.array([1.0, 0.0, 0.25 - 0.1j], np.complex64)
+         if args.multipath else np.array([1.0], np.complex64))
+    for snr in snrs:
+        rng = np.random.RandomState(int(snr * 10))
+        # burst path
+        errs_b = tot = 0
+        sigs, bits_all = [], []
+        for _ in range(args.frames):
+            bits, sig = _make_burst(m, rng, nsym, snr, args.cfo, h, 200)
+            got, _, _, _ = m.demodulate(sig, nsym)
+            got = np.asarray(got)[: len(bits)]
+            errs_b += int((got != bits).sum())
+            tot += len(bits)
+            sigs.append(sig)
+            bits_all.append(bits)
+        ber_burst = errs_b / tot
+        # streaming path: same frames concatenated into one stream
+        stream = np.concatenate(
+            sigs + [np.zeros(1200, np.complex64)]).astype(np.complex64)
+        rx = OfdmReceiver(m, nsym_data=nsym, sync_type="pn")
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        pb = g.add_output(Port(jnp.uint8))
+        pf = g.add_output(Port(jnp.uint8))
+        pc = g.add_output(Port(jnp.complex64, m.occupied))
+        g.connect(pin, rx)
+        g.connect((rx, 0), OfdmFrameSink(m), pb)
+        g.connect((rx, 1), pf)
+        g.connect((rx, 2), pc)
+        # chunk <= frame span + gap: at most one new frame start per chunk
+        span = (nsym + 2) * (m.fft_len + m.cp_len)
+        ex = StreamExecutor(g, chunk_size=span // 2 * 2, vr_chunks={rx: nsym})
+        bits_out, flags, _ = ex.run(stream)
+        bits_out = np.asarray(bits_out)
+        per = nsym * 48 * 2
+        nfr = min(len(bits_out) // per, len(bits_all))
+        errs_s = sum(int((bits_out[i * per:(i + 1) * per]
+                          != bits_all[i]).sum()) for i in range(nfr))
+        ber_stream = errs_s / max(nfr * per, 1)
+        print(json.dumps({"snr_db": snr, "ber_burst": round(ber_burst, 5),
+                          "ber_streaming": round(ber_stream, 5),
+                          "frames_streaming": nfr}))
 
 
 if __name__ == "__main__":

@@ -323,6 +323,12 @@ class OfdmReceiver(Block):
     Frames are ``nsym_data`` data symbols after the 2 preamble symbols;
     after a full frame the receiver re-acquires (burst/TDMA semantics,
     matching the benchmark_ofdm framing).
+
+    Sizing rule: acquisition runs once per chunk, so pick
+    ``chunk_size <= frame_span + min_gap`` (frame_span =
+    (nsym_data+2)*(fft+cp)) to guarantee at most one new frame start per
+    chunk — otherwise a preamble arriving in the same chunk right after a
+    completed frame is only seen if it falls within the history window.
     """
 
     variable_rate = True
@@ -366,6 +372,10 @@ class OfdmReceiver(Block):
             "chan": jnp.ones((occ,), jnp.complex64),
             "phase": jnp.zeros((), jnp.float32),
             "sym_left": jnp.zeros((), jnp.int32),   # data symbols remaining
+            # accumulated CFO ramp phase at delivered index 0: keeps the
+            # derotation CONTINUOUS across chunk boundaries (a chunk-local
+            # ramp would jump by cfo*chunk_len at every boundary)
+            "cfo_phase": jnp.zeros((), jnp.float32),
         }
 
     def _metric(self, x):
@@ -431,6 +441,7 @@ class OfdmReceiver(Block):
                 "phase": jnp.where(found, 0.0, st["phase"]),
                 "sym_left": jnp.where(found, self.nsym_data,
                                       st["sym_left"]),
+                "cfo_phase": jnp.where(found, 0.0, st["cfo_phase"]),
             }
             return new, found
 
@@ -446,9 +457,9 @@ class OfdmReceiver(Block):
                 (c["sym_left"] > 0)
             a = jnp.clip(c["anchor"], 0, n - m.fft_len)
             win = jax.lax.dynamic_slice_in_dim(x, a, m.fft_len)
-            ramp = jnp.exp(-1j * c["cfo"] * (
+            ramp = jnp.exp(-1j * (c["cfo_phase"] + c["cfo"] * (
                 a.astype(jnp.float32) + jnp.arange(m.fft_len,
-                                                   dtype=jnp.float32)))
+                                                   dtype=jnp.float32))))
             F = jnp.fft.fft(win * ramp)
             eq = F[bins] / jnp.where(jnp.abs(c["chan"]) > 1e-9, c["chan"],
                                      1.0)
@@ -473,10 +484,14 @@ class OfdmReceiver(Block):
 
         st2, (outs, oks) = jax.lax.scan(emit, st, jnp.arange(max_out))
         n_valid = oks.sum().astype(jnp.int32)
-        # rebase anchor against consumed fresh samples
+        # rebase anchor against consumed fresh samples; roll the CFO ramp
+        # phase forward so derotation stays continuous across the boundary
         chunk_len = n - (self.history - 1)
         st2["anchor"] = st2["anchor"] - chunk_len
         st2["base"] = st2["base"] + chunk_len
+        ph = st2["cfo_phase"] + st2["cfo"] * chunk_len
+        st2["cfo_phase"] = ph - 2 * np.pi * jnp.floor(
+            ph / (2 * np.pi) + 0.5)
         return st2, (outs, n_valid)
 
 

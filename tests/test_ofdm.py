@@ -264,3 +264,55 @@ def gengen_sink_u8():
 def gengen_sink_vec(vlen):
     from grtpu.blocks.gengen import VectorSink
     return VectorSink(dtype=jnp.complex64, vlen=vlen)
+
+
+class TestBerCurveParity:
+    """benchmark_ofdm --curve criterion: the streaming OfdmReceiver's BER
+    must match the burst modem's on the same waveforms (the CFO derotation
+    ramp stays continuous across chunk boundaries via carried phase)."""
+
+    def test_streaming_matches_burst_ber(self):
+        import sys
+        sys.path.insert(0, ".")
+        from examples.benchmark_ofdm import _make_burst
+        from grtpu.digital.ofdm import OfdmFrameSink, OfdmReceiver
+        from grtpu.runtime.block import Port
+        from grtpu.runtime.executor import StreamExecutor
+        from grtpu.runtime.graph import Graph
+
+        m = OfdmModem()
+        nsym = 6
+        for snr in (10.0, 22.0):
+            rng = np.random.RandomState(int(snr))
+            sigs, bits_all, bers_burst = [], [], []
+            for _ in range(2):
+                bits, sig = _make_burst(m, rng, nsym, snr, 0.002,
+                                        np.array([1.0], np.complex64), 200)
+                got, _, _, _ = m.demodulate(sig, nsym)
+                bers_burst.append(
+                    (np.asarray(got)[: len(bits)] != bits).mean())
+                sigs.append(sig)
+                bits_all.append(bits)
+            stream = np.concatenate(
+                sigs + [np.zeros(1200, np.complex64)]).astype(np.complex64)
+            rx = OfdmReceiver(m, nsym_data=nsym, sync_type="pn")
+            g = Graph()
+            pin = g.add_input(Port(jnp.complex64))
+            pb = g.add_output(Port(jnp.uint8))
+            pf = g.add_output(Port(jnp.uint8))
+            pc = g.add_output(Port(jnp.complex64, m.occupied))
+            g.connect(pin, rx)
+            g.connect((rx, 0), OfdmFrameSink(m), pb)
+            g.connect((rx, 1), pf)
+            g.connect((rx, 2), pc)
+            span = (nsym + 2) * (m.fft_len + m.cp_len)
+            ex = StreamExecutor(g, chunk_size=span, vr_chunks={rx: nsym})
+            bits_out, flags, _ = ex.run(stream)
+            bits_out = np.asarray(bits_out)
+            per = nsym * 48 * 2
+            assert len(bits_out) // per == 2
+            for i in range(2):
+                ber_s = (bits_out[i * per:(i + 1) * per]
+                         != bits_all[i]).mean()
+                assert abs(ber_s - bers_burst[i]) <= 0.01, (snr, i, ber_s,
+                                                            bers_burst[i])
