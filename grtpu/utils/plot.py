@@ -5,8 +5,13 @@ matplotlib viewers for raw binary captures (time, PSD, spectrogram,
 constellation).  Headless-friendly: writes PNGs (the Agg backend) instead
 of requiring a GUI.
 
-CLI:  python -m grtpu.utils.plot <time|psd|spec|const> capture.cfile \
+CLI:  python -m grtpu.utils.plot <time|iq|fft|psd|spec|const> capture.cfile \
           [--dtype complex64] [--rate 1e6] [--out plot.png]
+
+Kind mapping to the reference CLIs: time/iq = gr_plot_iq / gr_plot_float /
+gr_plot_char/short/int (pick --dtype), fft = gr_plot_fft{,_c,_f} (dual
+time+spectrum view at --start), psd = gr_plot_psd{,_c,_f},
+const = gr_plot_const, spec = the qt waterfall's offline analog.
 """
 
 from __future__ import annotations
@@ -86,9 +91,46 @@ def plot_constellation(data, out, title="constellation"):
     return out
 
 
+def plot_fft(data, rate, out, nfft=4096, title="fft"):
+    """gr_plot_fft's dual view: the time slice and its spectrum."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = min(nfft, len(data))
+    seg = data[:n]
+    fig, (ax0, ax1) = plt.subplots(2, 1, figsize=(10, 7))
+    t = np.arange(n) / rate
+    if np.iscomplexobj(seg):
+        ax0.plot(t, seg.real, lw=0.7, label="I")
+        ax0.plot(t, seg.imag, lw=0.7, label="Q")
+        ax0.legend()
+        spec = np.fft.fftshift(np.fft.fft(seg))
+        f = np.fft.fftshift(np.fft.fftfreq(n, 1.0 / rate))
+    else:
+        ax0.plot(t, seg, lw=0.7)
+        spec = np.fft.rfft(seg)
+        f = np.fft.rfftfreq(n, 1.0 / rate)
+    ax0.set_xlabel("time [s]")
+    ax1.plot(f, 20 * np.log10(np.abs(spec) + 1e-12), lw=0.7)
+    ax1.set_xlabel("freq [Hz]")
+    ax1.set_ylabel("mag [dB]")
+    fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(out, dpi=110)
+    return out
+
+
+# gr_plot_{char,short,int,float,iq} dtype shorthands
+_DTYPE_ALIASES = {"char": "int8", "uchar": "uint8", "short": "int16",
+                  "int": "int32", "float": "float32", "complex": "complex64",
+                  "iq": "complex64"}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="grtpu.utils.plot")
-    ap.add_argument("kind", choices=["time", "psd", "spec", "const"])
+    ap.add_argument("kind", choices=["time", "iq", "fft", "psd", "spec",
+                                     "const"])
     ap.add_argument("path")
     ap.add_argument("--dtype", default="complex64")
     ap.add_argument("--rate", type=float, default=1.0)
@@ -96,10 +138,13 @@ def main(argv=None):
     ap.add_argument("--count", type=int, default=1 << 20)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
-    data = _load(args.path, args.dtype, args.start, args.count)
+    dtype = _DTYPE_ALIASES.get(args.dtype, args.dtype)
+    data = _load(args.path, dtype, args.start, args.count)
     out = args.out or (args.path + f".{args.kind}.png")
-    if args.kind == "time":
+    if args.kind in ("time", "iq"):
         plot_time(data, args.rate, out)
+    elif args.kind == "fft":
+        plot_fft(data, args.rate, out)
     elif args.kind == "psd":
         plot_psd(data, args.rate, out)
     elif args.kind == "spec":
