@@ -209,3 +209,17 @@ class FloatToCharSigned(Block):
     def apply(self, state, x):
         v = jnp.clip(jnp.round(x), -128, 127)
         return state, jnp.where(v < 0, v + 256.0, v).astype(jnp.uint8)
+
+
+class Cast(Block):
+    """Generic dtype cast (no scaling) — glue for GRC flowgraphs whose
+    stream types differ from a block's native ports (e.g. the reference's
+    short symbol streams feeding int-native trellis blocks)."""
+
+    def __init__(self, in_dtype, out_dtype, name=None):
+        self.in_ports = (Port(in_dtype),)
+        self.out_ports = (Port(out_dtype),)
+        super().__init__(name)
+
+    def apply(self, state, x):
+        return state, x.astype(self.out_ports[0].dtype)

@@ -111,6 +111,7 @@ def build_env(env_blocks, overrides: Optional[Dict[str, Any]] = None):
     env: Dict[str, Any] = {
         "math": math, "np": np, "numpy": np, "pi": math.pi,
         "gr": _make_gr_shim(), "firdes": firdes,
+        "trellis": _make_trellis_shim(),
         "True": True, "False": False, "None": None,
     }
     pending: Dict[str, str] = {}
@@ -651,7 +652,8 @@ def _c2s(p, env, **kw):
     from grtpu.blocks.gengen import ChunksToSymbols
     table = np.asarray(_ev(p["symbol_table"], env))
     return ChunksToSymbols(table, in_dtype=_dt(p, "in_type", "byte"),
-                           out_dtype=_dt(p, "out_type", "complex"))
+                           out_dtype=_dt(p, "out_type", "complex"),
+                           dimension=int(_ev(p.get("dimension", "1"), env)))
 
 
 @adapter("random_source_x")
@@ -835,3 +837,125 @@ def run_grc(path: str, steps: int = 16, chunk_size: Optional[int] = None,
                    for q in sig.values()):
                 b.flush()
     return ex, byid
+
+
+# ------------------------------------------------------------- trellis keys
+def _make_trellis_shim():
+    """The 'trellis' namespace GRC expressions reference: metric/SISO
+    constants and the interleaver(K, seed) constructor."""
+    def interleaver(K, seed):
+        from grtpu.trellis.interleaver import Interleaver
+        return Interleaver.random(int(K), int(seed))
+
+    return SimpleNamespace(TRELLIS_EUCLIDEAN="euclidean",
+                           TRELLIS_HARD_SYMBOL="hard_symbol",
+                           TRELLIS_HARD_BIT="hard_bit",
+                           TRELLIS_MIN_SUM="min_sum",
+                           TRELLIS_SUM_PRODUCT="sum_product",
+                           interleaver=interleaver)
+
+
+def _wrap_ports(blk, in_dt, out_dt):
+    """Wrap an int-native trellis block with casts so it presents the GRC
+    stream types (short symbol streams in the reference flowgraphs)."""
+    from grtpu.runtime.graph import HierBlock
+    from grtpu.blocks.convert import Cast
+
+    h = HierBlock(name=blk.name + "_w")
+    g = h.graph
+    pin = g.add_input(Port(in_dt))
+    pout = g.add_output(Port(out_dt))
+    g.connect(pin, Cast(in_dt, blk.in_ports[0].dtype), blk,
+              Cast(blk.out_ports[0].dtype, out_dt), pout)
+    return h
+
+
+_TRELLIS_DT = {"b": jnp.uint8, "s": jnp.int16, "i": jnp.int32}
+
+
+@adapter("trellis_encoder_xx")
+def _trellis_encoder(p, env, **kw):
+    from grtpu.trellis.blocks import TrellisEncoder
+    from grtpu.trellis.fsm import FSM
+
+    fsm = FSM.from_file(_ev(p["fsm_args"], env))
+    blk = TrellisEncoder(fsm, int(_ev(p.get("init_state", "0"), env)))
+    t = p.get("type", "ss")
+    return _wrap_ports(blk, _TRELLIS_DT[t[0]], _TRELLIS_DT[t[1]])
+
+
+@adapter("trellis_viterbi_combined_xx")
+def _trellis_viterbi_combined(p, env, **kw):
+    from grtpu.trellis.blocks import ViterbiCombined
+    from grtpu.trellis.fsm import FSM
+    from grtpu.runtime.graph import HierBlock
+    from grtpu.blocks.convert import Cast
+
+    fsm = FSM.from_file(_ev(p["fsm_args"], env))
+    table = np.asarray(_ev(p["table"], env))
+    metric = str(_ev(p.get("metric_type", "'euclidean'"), env))
+    cin = p.get("type", "c") == "c"
+    blk = ViterbiCombined(fsm, int(_ev(p["block_size"], env)),
+                          int(_ev(p.get("init_state", "-1"), env)),
+                          int(_ev(p.get("final_state", "-1"), env)),
+                          int(_ev(p.get("dim", "1"), env)),
+                          table.astype(np.complex64 if cin else np.float32),
+                          metric, complex_in=cin)
+    out_dt = _TRELLIS_DT[p.get("out_type", "s")]
+    h = HierBlock(name=blk.name + "_w")
+    g = h.graph
+    pin = g.add_input(Port(blk.in_ports[0].dtype))
+    pout = g.add_output(Port(out_dt))
+    g.connect(pin, blk, Cast(blk.out_ports[0].dtype, out_dt), pout)
+    return h
+
+
+@adapter("trellis_pccc_encoder_xx")
+def _trellis_pccc_encoder(p, env, **kw):
+    from grtpu.trellis.blocks import PcccEncoder
+    from grtpu.trellis.fsm import FSM
+
+    f1 = FSM.from_file(_ev(p["o_fsm_args"], env))
+    f2 = FSM.from_file(_ev(p["i_fsm_args"], env))
+    K = int(_ev(p.get("bl") or p["block_size"], env))
+    inter = _ev(p.get("interleaver_args") or p["interleaver"], env)
+    blk = PcccEncoder(f1, int(_ev(p.get("o_init_state", "0"), env) or 0),
+                      f2, int(_ev(p.get("i_init_state", "0"), env) or 0),
+                      inter, K)
+    t = p.get("type", "ss")
+    return _wrap_ports(blk, _TRELLIS_DT[t[0]], _TRELLIS_DT[t[1]])
+
+
+@adapter("trellis_pccc_decoder_combined_xx")
+def _trellis_pccc_decoder(p, env, **kw):
+    from grtpu.trellis.blocks import PcccDecoderCombined
+    from grtpu.trellis.fsm import FSM
+    from grtpu.runtime.graph import HierBlock
+    from grtpu.blocks.convert import Cast
+
+    f1 = FSM.from_file(_ev(p["o_fsm_args"], env))
+    f2 = FSM.from_file(_ev(p["i_fsm_args"], env))
+    K = int(_ev(p["block_size"], env))
+    inter = _ev(p["interleaver"], env)
+    cin = p.get("type", "f") == "c"
+    table = np.asarray(_ev(p["table"], env))
+    blk = PcccDecoderCombined(
+        f1, int(_ev(p.get("o_init_state", "0"), env) or 0),
+        int(_ev(p.get("o_final_state", "-1"), env)),
+        f2, int(_ev(p.get("i_init_state", "0"), env) or 0),
+        int(_ev(p.get("i_final_state", "-1"), env)),
+        inter, K, int(_ev(p.get("dim", "1"), env)),
+        table.astype(np.complex64 if cin else np.float32),
+        str(_ev(p.get("metric_type", "'euclidean'"), env)),
+        float(_ev(p.get("scaling", "1.0"), env)),
+        int(_ev(p.get("iterations", "10"), env)),
+        sum_product=(str(_ev(p.get("siso_type", "'min_sum'"), env))
+                     == "sum_product"),
+        complex_in=cin)
+    out_dt = _TRELLIS_DT[p.get("out_type", "s")]
+    h = HierBlock(name=blk.name + "_w")
+    g = h.graph
+    pin = g.add_input(Port(blk.in_ports[0].dtype))
+    pout = g.add_output(Port(out_dt))
+    g.connect(pin, blk, Cast(blk.out_ports[0].dtype, out_dt), pout)
+    return h

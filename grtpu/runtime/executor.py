@@ -60,6 +60,15 @@ def _edge_key(e: Edge) -> str:
     return f"{sname}.{e.src.port}->{e.dst.block.name}.{e.dst.port}"
 
 
+class _RateMismatch(ValueError):
+    """A join's inputs disagree; carries (source_root, have, need)
+    rescale candidates for the demand-balancing retry loop."""
+
+    def __init__(self, msg, candidates):
+        super().__init__(msg)
+        self.candidates = candidates
+
+
 def _ingest(x):
     """Host input -> device, routing complex through the f32-plane path
     (complex64 H2D is unimplemented on some transports, see utils.xfer)."""
@@ -111,7 +120,29 @@ class StreamExecutor:
             m = self.required_multiple()
             chunk_size = -(-4096 // m) * m
         self.chunk_size = int(chunk_size)
-        self._compute_rates(root_chunks or {}, vr_chunks or {})
+        root_chunks = dict(root_chunks or {})
+        # demand balancing: the reference scheduler produces from each
+        # source exactly as fast as its consumers drain it
+        # (gr_block_executor demand negotiation); statically, a join whose
+        # branches come from different SOURCE roots determines each root's
+        # per-step production.  Retry rate propagation, scaling source
+        # roots until all joins agree.
+        for _ in range(32):
+            try:
+                self._compute_rates(root_chunks, vr_chunks or {})
+                break
+            except _RateMismatch as e:
+                fixed = False
+                for src_block, have, need in e.candidates:
+                    if need % have == 0:
+                        cur = root_chunks.get(src_block, self.chunk_size)
+                        root_chunks[src_block] = cur * (need // have)
+                        fixed = True
+                        break
+                if not fixed:
+                    raise ValueError(str(e)) from None
+        else:
+            raise ValueError("could not balance source rates")
         self._init_state()
         self._build_step(donate and not debug_taps)
         # host-side stream-tag store per edge key, and absolute item counters
@@ -200,19 +231,28 @@ class StreamExecutor:
             if not ups:  # source block
                 n_in = int(root_chunks.get(b, self.chunk_size)) * b.decim // b.interp
             else:
-                counts = set()
+                counts = {}
                 for i, e in ups.items():
                     src = e.src.block
                     if isinstance(src, Pad):
-                        counts.add(pad_chunk[id(src)])
+                        counts[i] = pad_chunk[id(src)]
                     else:
-                        counts.add(self.edge_items[_edge_key(e)])
-                if len(counts) != 1:
-                    raise ValueError(
+                        counts[i] = self.edge_items[_edge_key(e)]
+                if len(set(counts.values())) != 1:
+                    need = math.lcm(*counts.values())
+                    cands = []
+                    for i, c in counts.items():
+                        if c == need:
+                            continue
+                        root = self._source_root_of(ups[i])
+                        if root is not None:
+                            cands.append((root, c, need))
+                    raise _RateMismatch(
                         f"{b.name}: input ports receive unequal chunk sizes "
-                        f"{sorted(counts)}; insert rate-matching blocks"
-                    )
-                n_in = counts.pop()
+                        f"{sorted(set(counts.values()))}; insert "
+                        f"rate-matching blocks or rescale the sources",
+                        cands)
+                n_in = next(iter(counts.values()))
             if n_in % b.decim:
                 raise ValueError(
                     f"{b.name}: per-step input {n_in} not divisible by "
@@ -268,6 +308,20 @@ class StreamExecutor:
         self._edge_keys = [
             _edge_key(e) for e in self.flat.edges if isinstance(e.dst.block, Block)
         ]
+
+    def _source_root_of(self, e: Edge) -> Optional[Block]:
+        """The unique SOURCE block feeding this edge's path, if any —
+        the block whose per-step production the demand balancer may
+        rescale.  None if the path starts at an input pad or mixes
+        several distinct roots."""
+        src = e.src.block
+        if isinstance(src, Pad):
+            return None
+        ups = self.flat.upstream_of(src)
+        if not ups:
+            return src
+        roots = {self._source_root_of(up) for up in ups.values()}
+        return roots.pop() if len(roots) == 1 else None
 
     def _edge_owner(self, e: Edge) -> Optional[Block]:
         src = e.src.block

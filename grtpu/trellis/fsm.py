@@ -45,12 +45,25 @@ class FSM:
 
     @classmethod
     def from_file(cls, path: str) -> "FSM":
-        """gr-trellis file format: 'I S O' then NS table then OS table."""
+        """gr-trellis file format: 'I S O' then NS table then OS table.
+
+        Like fsm.cc's reader, anything after the required 3 + 2*S*I
+        integers is ignored (the shipped fsm_files carry free-text
+        generator-polynomial notes after the tables)."""
         tokens = []
+        need = None
         with open(path) as f:
             for line in f:
                 line = line.split("#")[0]
-                tokens.extend(int(t) for t in line.split())
+                for t in line.split():
+                    try:
+                        tokens.append(int(t))
+                    except ValueError:
+                        break  # trailing commentary: stop parsing this line
+                if need is None and len(tokens) >= 3:
+                    need = 3 + 2 * tokens[1] * tokens[0]
+                if need is not None and len(tokens) >= need:
+                    break
         I, S, O = tokens[0], tokens[1], tokens[2]
         body = tokens[3:]
         NS = body[: S * I]

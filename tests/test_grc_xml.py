@@ -126,3 +126,39 @@ class TestMoreReferenceFlowgraphs:
         peak = f[np.argmax(spec[1:]) + 1]
         # the flowgraph's source is samp_rate/20 = 1600 Hz
         assert abs(peak - 1600) < 32000 / len(seg) * 2, peak
+
+
+@needs_ref
+class TestTrellisFlowgraphs:
+    """Reference gr-trellis GRC examples: FSM files loaded from the
+    reference tree (the flowgraphs' own `prefix` variable points at the
+    author's machine; --set prefix=... overrides it, as any user of the
+    original would have to)."""
+
+    OV = {"prefix": "/root/reference/"}
+
+    def test_pccc_turbo_loopback(self):
+        """PCCC turbo encode -> AWGN -> 10-iteration combined decode:
+        the (decoded - sent)^2 probe stream must be identically zero at
+        the flowgraph's default SNR."""
+        ex, byid = run_grc(
+            "/root/reference/gnuradio-examples/grc/trellis/pccc.grc",
+            steps=2, overrides=self.OV)
+        err = np.asarray(byid["wxgui_numbersink2_3_0"].captured[0])
+        assert err.shape[0] > 5000
+        assert float(np.abs(err.astype(np.float64)).mean()) == 0.0
+
+    def test_interference_cancellation(self):
+        """Two-user trellis interference cancellation chain (encoders,
+        viterbi_combined stages, successive cancellation) runs; the
+        primary user's error probe stays near zero."""
+        ex, byid = run_grc(
+            "/root/reference/gnuradio-examples/grc/trellis/"
+            "interference_cancellation.grc", steps=1, overrides=self.OV)
+        caps = {k: np.asarray(b.captured[0]) for k, b in byid.items()
+                if not getattr(b, "out_ports", ())
+                and getattr(b, "captured", None)}
+        assert caps
+        errs = [np.abs(v.astype(np.float64)).mean()
+                for k, v in caps.items() if "numbersink" in k]
+        assert min(errs) < 0.05, errs
