@@ -409,7 +409,7 @@ def _fll(p, env, **kw):
                        int(_ev(p["filter_size"], env)), bw, gains=gains)
 
 
-@adapter("gr_clock_recovery_mm_xx")
+@adapter("gr_clock_recovery_mm_xx", "digital_clock_recovery_mm_xx")
 def _mm(p, env, **kw):
     from grtpu.digital.blocks import ClockRecoveryMMCC, ClockRecoveryMMFF
     cls = (ClockRecoveryMMCC if p.get("type", "complex") == "complex"
@@ -417,6 +417,48 @@ def _mm(p, env, **kw):
     return cls(_ev(p["omega"], env), _ev(p["gain_omega"], env),
                _ev(p["mu"], env), _ev(p["gain_mu"], env),
                _ev(p.get("omega_relative_limit", "0.001"), env))
+
+
+@adapter("gr_agc_xx")
+def _agc(p, env, **kw):
+    from grtpu.blocks.analog import Agc
+    return Agc(float(_ev(p.get("rate", "1e-4"), env)),
+               float(_ev(p.get("reference", "1.0"), env)),
+               float(_ev(p.get("gain", "1.0"), env)),
+               float(_ev(p.get("max_gain", "0.0"), env)), dtype=_dt(p))
+
+
+@adapter("gr_moving_average_xx")
+def _movavg(p, env, **kw):
+    from grtpu.blocks.gengen import MovingAverage
+    return MovingAverage(int(_ev(p["length"], env)),
+                         _ev(p.get("scale", "1"), env), dtype=_dt(p))
+
+
+@adapter("gr_interleaved_short_to_complex")
+def _is2c(p, env, **kw):
+    from grtpu.blocks.convert import InterleavedShortToComplex
+    return InterleavedShortToComplex()
+
+
+@adapter("noaa_hrpt_pll_cf")
+def _hrpt_pll(p, env, **kw):
+    from grtpu.models.noaa import HrptPll
+    return HrptPll(float(_ev(p["alpha"], env)), float(_ev(p["beta"], env)),
+                   float(_ev(p["max_offset"], env)))
+
+
+@adapter("noaa_hrpt_deframer")
+def _hrpt_deframer(p, env, **kw):
+    from grtpu.models.noaa import HrptDeframer
+    return HrptDeframer()
+
+
+@adapter("noaa_hrpt_decoder")
+def _hrpt_decoder(p, env, **kw):
+    from grtpu.models.noaa import HrptDecoder
+    return HrptDecoder(verbose=bool(_ev(p.get("verbose", "False"), env)),
+                       output_files=bool(_ev(p.get("output", "False"), env)))
 
 
 @adapter("gr_pfb_clock_sync_xxx")

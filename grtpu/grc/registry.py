@@ -278,6 +278,11 @@ def _populate():
     r("blks2_gmsk_demod", gmd.GmskDemodBlock)
     r("blks2_dxpsk_mod", gmd.GenericModBlock)
     r("blks2_dxpsk_demod", gmd.GenericDemodBlock)
+    # gr-noaa HRPT receive chain (gr-noaa/grc/noaa_hrpt_*.xml)
+    from grtpu.models import noaa
+    r("noaa_hrpt_pll_cf", noaa.HrptPll)
+    r("noaa_hrpt_deframer", noaa.HrptDeframer)
+    r("noaa_hrpt_decoder", noaa.HrptDecoder)
 
 
 def _cvsd(kind):
