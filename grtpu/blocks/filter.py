@@ -71,6 +71,7 @@ class FirFilter(Block):
         if len(taps) != self.history:
             raise ValueError("set_taps must preserve tap count (history)")
         self.taps = np.asarray(taps, self.taps.dtype)
+        self.touch()  # invalidate any built executor (stale-taps guard)
 
 
 class FftFilter(FirFilter):

@@ -104,6 +104,7 @@ class AddConst(Block):
 
     def set_k(self, k):
         self.k = np.dtype(self.in_ports[0].dtype).type(k)
+        self.touch()
 
 
 class MultiplyConst(Block):
@@ -118,6 +119,7 @@ class MultiplyConst(Block):
 
     def set_k(self, k):
         self.k = np.dtype(self.in_ports[0].dtype).type(k)
+        self.touch()
 
 
 class AndConst(Block):
@@ -274,6 +276,7 @@ class Mute(Block):
 
     def set_mute(self, m: bool):
         self.muted = m
+        self.touch()
 
     def apply(self, state, x):
         return state, jnp.where(self.muted, jnp.zeros_like(x), x)

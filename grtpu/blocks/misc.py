@@ -472,9 +472,11 @@ class Selector(Block):
 
     def set_input_index(self, i: int):
         self.input_index = int(i)
+        self.touch()
 
     def set_output_index(self, i: int):
         self.output_index = int(i)
+        self.touch()
 
     def apply(self, state, *xs):
         sel = (xs[self.input_index] if 0 <= self.input_index < len(xs)

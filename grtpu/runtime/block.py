@@ -148,6 +148,9 @@ class Block:
     emits_tags: bool = False
 
     _instance_counter = [0]
+    # Bumped whenever ANY block's compile-relevant parameters change
+    # (see touch()); executors snapshot it to detect stale-parameter use.
+    _global_version = [0]
 
     def __init__(self, name: str | None = None):
         Block._instance_counter[0] += 1
@@ -155,6 +158,19 @@ class Block:
         self.name = name or f"{type(self).__name__}_{self.uid}"
         self.in_ports = tuple(self.in_ports)
         self.out_ports = tuple(self.out_ports)
+        self._version = 0
+
+    def touch(self):
+        """Mark this block's compile-relevant parameters as changed.
+
+        Parameter setters (set_taps, ...) call this.  A built
+        StreamExecutor bakes such parameters into the traced program as
+        constants; its ``step()`` raises if any block was touched after the
+        build, replacing the reference's implicit rebuild-on-set_taps
+        (gr_top_block lock/unlock) with an explicit error instead of
+        silently stale output."""
+        self._version += 1
+        Block._global_version[0] += 1
 
     # -- contract -----------------------------------------------------------
     def init_state(self) -> Any:

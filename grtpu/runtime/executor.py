@@ -154,6 +154,29 @@ class StreamExecutor:
         self._vr_counts_accum: Dict[str, List[int]] = {
             v.name: [] for v in self.vr_blocks
         }
+        # Stale-parameter guard: block params (taps, constants, ...) are
+        # baked into the traced program; a post-build setter would silently
+        # produce stale output.  Snapshot versions; step() raises on drift.
+        self._global_version_snap = Block._global_version[0]
+        self._block_versions = {b.uid: b._version for b in self.order}
+
+    def _check_versions(self):
+        """Raise if any block parameter changed after this executor was
+        built (the set_taps-on-a-built-executor silent-no-op trap).  O(1)
+        in the common case via the class-wide version counter."""
+        if Block._global_version[0] == self._global_version_snap:
+            return
+        stale = [b.name for b in self.order
+                 if b._version != self._block_versions[b.uid]]
+        if stale:
+            raise RuntimeError(
+                f"block parameters changed after the executor was built "
+                f"({', '.join(stale)}); rebuild the executor (or use "
+                f"TopBlock.lock()/unlock(), which preserves state) — "
+                f"baked-in constants cannot be updated in a compiled step")
+        # someone touched a block outside this graph; resnapshot so the
+        # fast path stays O(1)
+        self._global_version_snap = Block._global_version[0]
 
     # ------------------------------------------------------------------ rates
     def _compute_topology(self):
@@ -211,6 +234,7 @@ class StreamExecutor:
         pad_chunk = {}
         for pad in self.flat.in_pads:
             pad_chunk[id(pad)] = int(root_chunks.get(pad, self.chunk_size))
+        self._pad_chunk = pad_chunk
 
         # per-block input counts, choosing each VR block's
         # emission size from its sub-segment's decimation multiple.
@@ -366,31 +390,32 @@ class StreamExecutor:
         return self._segment_multiple(None)
 
     # ------------------------------------------------------------------ state
-    def _init_state(self):
-        def make():
-            block_states = {str(b.uid): b.init_state() for b in self.order}
-            tails = {}
-            for b in self.order:
-                if b.history > 1:
-                    for i, e in self.flat.upstream_of(b).items():
-                        port = b.in_ports[i]
-                        tails[_edge_key(e)] = jnp.zeros(
-                            port.chunk_shape(b.history - 1), port.dtype
-                        )
-            fifos = {}
-            for v in self.vr_blocks:
-                bufs = tuple(
-                    jnp.zeros(port.chunk_shape(self.vr_cap[v.uid]),
-                              port.dtype)
-                    for port in v.out_ports
-                )
-                fifos[v.name] = (bufs, jnp.zeros((), jnp.int32))
-            return {"blocks": block_states, "tails": tails, "fifo": fifos}
+    def _make_state(self):
+        """Build the initial state pytree (called under jit)."""
+        block_states = {str(b.uid): b.init_state() for b in self.order}
+        tails = {}
+        for b in self.order:
+            if b.history > 1:
+                for i, e in self.flat.upstream_of(b).items():
+                    port = b.in_ports[i]
+                    tails[_edge_key(e)] = jnp.zeros(
+                        port.chunk_shape(b.history - 1), port.dtype
+                    )
+        fifos = {}
+        for v in self.vr_blocks:
+            bufs = tuple(
+                jnp.zeros(port.chunk_shape(self.vr_cap[v.uid]),
+                          port.dtype)
+                for port in v.out_ports
+            )
+            fifos[v.name] = (bufs, jnp.zeros((), jnp.int32))
+        return {"blocks": block_states, "tails": tails, "fifo": fifos}
 
+    def _init_state(self):
         # built INSIDE one jit: eagerly-created complex/int zeros take the
         # host-constant transfer path, which some TPU transports (axon)
         # don't implement — jit-produced arrays stay device-native
-        self.state = jax.jit(make)()
+        self.state = jax.jit(self._make_state)()
 
     # ------------------------------------------------------------------ step
     def _build_step(self, donate: bool):
@@ -618,6 +643,14 @@ class StreamExecutor:
         self._jit_step = jax.jit(step, donate_argnums=(0,) if donate else ())
         self._sinks = [b for b in order if not b.out_ports]
 
+    def step_fn(self):
+        """The raw jittable step: ``(state, ext_inputs) -> (state', (pads,
+        caps))`` over one time-block.  Public surface for embedding the
+        compiled flowgraph in a larger jitted program (drivers, sharded
+        wrappers, device-side loops); pair with :attr:`state` for the
+        initial carry."""
+        return self._step_fn
+
     @staticmethod
     def _apply_source(b: Block, state, n: int):
         res = b.apply(state, n)
@@ -648,6 +681,7 @@ class StreamExecutor:
         this step is in sink_captures["__vr_counts__"].  ``run``/``stream``
         compact them automatically.
         """
+        self._check_versions()
         ext_inputs = tuple(_ingest(x) for x in ext_inputs)
         for pad, x in zip(self.flat.in_pads, ext_inputs):
             want = self.chunk_size
