@@ -63,6 +63,33 @@ def main():
         }))
     ex._jit_step = real
 
+    # device-side multi-step loop: ALL chunks in one lax.scan dispatch —
+    # host overhead per chunk is the single python dispatch amortized over
+    # nchunks (run(device_loop=True)); measured end-to-end on the Copy
+    # chain whose device work is ~free, so per-chunk time ~= host share.
+    ex2 = StreamExecutor(g, chunk_size=chunk)
+    nchunks = 256
+    big = jnp.zeros(nchunks * chunk, jnp.float32)
+    ex2.run(big, device_loop=True)  # build + compile the real scan
+    # host share only (same methodology as the per-step numbers): swap the
+    # cached scan for an identity, so the measured time is the python
+    # dispatch + reshape/finalize work amortized over nchunks
+    ex2._scan_cache[nchunks] = lambda state, stk: (state, ((stk[0],), {}))
+    ex2.run(big, device_loop=True)  # warm
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ex2.run(big, device_loop=True)
+    dt = (time.perf_counter() - t0) / n / nchunks
+    print(json.dumps({
+        "metric": "executor_host_overhead_device_loop",
+        "value": round(dt * 1e6, 2),
+        "unit": "us/chunk",
+        "ceiling_msps_at_4096": round(chunk / dt / 1e6, 1),
+        "nblocks": nblocks,
+        "nchunks": nchunks,
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -154,6 +154,8 @@ class StreamExecutor:
         self._vr_counts_accum: Dict[str, List[int]] = {
             v.name: [] for v in self.vr_blocks
         }
+        self._build_tag_plan()
+        self._scan_cache: Dict[int, Any] = {}
         # Stale-parameter guard: block params (taps, constants, ...) are
         # baked into the traced program; a post-build setter would silently
         # produce stale output.  Snapshot versions; step() raises on drift.
@@ -696,7 +698,8 @@ class StreamExecutor:
         self._advance_tags(tagsrc)
         return pads, caps
 
-    def run(self, *ext_inputs, steps: Optional[int] = None):
+    def run(self, *ext_inputs, steps: Optional[int] = None,
+            device_loop: bool = False):
         """Feed full arrays, stream them through in chunks, return full outputs.
 
         The analog of ``tb.run()``: finite-input execution.  Trailing items
@@ -704,13 +707,21 @@ class StreamExecutor:
         truncated to the exact rational length (fixed-rate pads) or to the
         exact emission count (variable-rate pads; items still queued in a
         VR FIFO at the end — less than one emission — remain in the carried
-        state, like items left in reference buffers at stop())."""
+        state, like items left in reference buffers at stop()).
+
+        ``device_loop=True`` runs ALL chunks in one dispatch as a
+        ``lax.scan`` over the stacked input — the whole host control plane
+        (one python dispatch per chunk) collapses to a single call, making
+        small-chunk finite runs device-bound.  Tags are a host-plane
+        feature and cannot ride the device loop."""
         n_pads = len(self.flat.in_pads)
         if len(ext_inputs) != n_pads:
             raise ValueError(f"graph has {n_pads} input pads, got {len(ext_inputs)}")
 
         if n_pads == 0:
             assert steps is not None, "source-driven graph needs steps="
+            if device_loop:
+                return self._run_device((), None, steps)
             outs_accum = [[] for _ in self.flat.out_pads]
             sink_accum: Dict[str, List] = {}
             counts_accum: List[Dict[str, int]] = []
@@ -728,6 +739,8 @@ class StreamExecutor:
             jnp.pad(x, [(0, pad_to - n)] + [(0, 0)] * (x.ndim - 1)) if pad_to != n else x
             for x in xs
         ]
+        if device_loop:
+            return self._run_device(tuple(xs), n, nchunks)
         outs_accum = [[] for _ in self.flat.out_pads]
         sink_accum: Dict[str, List] = {}
         counts_accum: List[Dict[str, int]] = []
@@ -736,6 +749,86 @@ class StreamExecutor:
             pads, sinks = self.step(*chunk)
             self._collect(pads, sinks, outs_accum, sink_accum, counts_accum)
         return self._finalize(outs_accum, sink_accum, n, counts_accum)
+
+    def _run_device(self, xs, n_in, nchunks):
+        """All chunks in ONE jitted dispatch: lax.scan over the chunk axis.
+
+        The device-side replacement for the reference's free-running
+        scheduler on a finite input: zero host work per chunk.  The scan
+        carries the full executor state, so the result is bit-identical to
+        nchunks step() calls."""
+        self._check_versions()
+        if self._tagged_edges or any(b.emits_tags for b in self.order):
+            raise ValueError(
+                "device_loop=True cannot carry stream tags (tags are "
+                "host-plane, advanced once per python step)")
+        if self.debug_taps:
+            raise ValueError("device_loop does not support debug_taps")
+        cs = self.chunk_size
+        scan_jit = self._scan_cache.get(nchunks)
+        if scan_jit is None:
+            step_fn = self._step_fn
+            flatten_pads = not self.vr_blocks
+
+            def scan_all(state, flat_xs):
+                # chunking + un-chunking live INSIDE the jit so the host
+                # never dispatches eager reshapes of the full stream
+                stk = tuple(x.reshape((nchunks, cs) + x.shape[1:])
+                            for x in flat_xs)
+                state, (pads_stk, caps_stk) = jax.lax.scan(
+                    step_fn, state, stk, length=nchunks)
+                if flatten_pads:
+                    pads_stk = tuple(
+                        p.reshape((-1,) + p.shape[2:]) for p in pads_stk)
+                    caps_stk = {
+                        name: tuple(v.reshape((-1,) + v.shape[2:])
+                                    for v in vals)
+                        for name, vals in caps_stk.items()
+                    }
+                return state, (pads_stk, caps_stk)
+
+            scan_jit = jax.jit(scan_all, donate_argnums=(0,))
+            self._scan_cache[nchunks] = scan_jit
+        self.state, (pads_stk, caps_stk) = scan_jit(self.state, tuple(xs))
+        self._bump_counters(nchunks)
+
+        if self.vr_blocks:
+            # per-chunk host compaction (emission counts differ per chunk)
+            outs_accum = [[] for _ in self.flat.out_pads]
+            sink_accum: Dict[str, List] = {}
+            counts_accum: List[Dict[str, int]] = []
+            for c in range(nchunks):
+                pads_c, caps_c = jax.tree_util.tree_map(
+                    lambda a: a[c], (pads_stk, caps_stk))
+                self._collect(pads_c, caps_c, outs_accum, sink_accum,
+                              counts_accum)
+            return self._finalize(outs_accum, sink_accum, n_in, counts_accum)
+
+        # fixed-rate fast path: already flattened inside the jit
+        pad_outs = []
+        for i in range(len(self.flat.out_pads)):
+            full = pads_stk[i]
+            if n_in is not None:
+                r = self._cumulative_rate(self.out_pad_edges[i])
+                exact = int(n_in * r)
+                if exact != full.shape[0]:
+                    full = full[:exact]
+            pad_outs.append(full)
+        self.sink_data = {}
+        byname = {b.name: b for b in self.order}
+        for name, vals in caps_stk.items():
+            b = byname[name]
+            exact = None
+            if n_in is not None:
+                ups = self.flat.upstream_of(b)
+                exact = int(n_in * self._cumulative_rate(ups[0]))
+            self.sink_data[name] = tuple(
+                v if exact is None or exact == v.shape[0] else v[:exact]
+                for v in vals)
+            b.captured = self.sink_data[name]
+        if len(pad_outs) == 1:
+            return pad_outs[0]
+        return tuple(pad_outs)
 
     def stream(self, chunk_iter):
         """Generator-driven streaming: pull fixed-size chunks from an
@@ -858,11 +951,43 @@ class StreamExecutor:
         return rate[src.uid]
 
     # ------------------------------------------------------------------ tags
+    def _build_tag_plan(self):
+        """Precompute the per-block tag-propagation topology once, so the
+        per-step host control plane does no graph traversal, no edge-key
+        string formatting, and — via the tagged-edge set — no work at all
+        for blocks with no tags in flight on their inputs.  This is the
+        incremental analog of the reference's per-iteration tag pass
+        (gr_block_executor.cc:91-156), which only ever looks at the one
+        block's own buffers."""
+        self._tagged_edges: set = set()
+        self._count_inc: List[tuple] = []
+        self._tag_plan: List[tuple] = []
+        for b in self.order:
+            n_in = self.block_nin[b.uid]
+            n_out = (n_in // b.decim * b.interp if not b.variable_rate
+                     else int(n_in * b.nominal_rate))
+            self._count_inc.append((b.name, n_in, n_out))
+            ups = self.flat.upstream_of(b)
+            in_list = [(i, _edge_key(e)) for i, e in sorted(ups.items())]
+            down_list = []
+            for e in self.flat.downstream_of(b):
+                dst_pad = (e.dst.block.index
+                           if isinstance(e.dst.block, Pad) else None)
+                down_list.append((e.src.port, _edge_key(e), dst_pad))
+            self._tag_plan.append((b, in_list, down_list, n_in))
+
+    def _bump_counters(self, steps: int = 1):
+        for name, n_in, n_out in self._count_inc:
+            self.nitems[name] += n_in * steps
+            self.nitems_out[name] += n_out * steps
+
     def add_tags(self, pad_index: int, tags: Sequence[Tag]):
         """Attach stream tags to an input pad's stream (absolute offsets)."""
         for e in self.flat.edges:
             if isinstance(e.src.block, Pad) and e.src.block.index == pad_index:
-                self._tags[_edge_key(e)].extend(tags)
+                k = _edge_key(e)
+                self._tags[k].extend(tags)
+                self._tagged_edges.add(k)
 
     def _advance_tags(self, tagsrc: Optional[Dict[str, Any]] = None):
         """Host-side per-chunk tag propagation (gr_block_executor.cc:91-156).
@@ -877,76 +1002,73 @@ class StreamExecutor:
         Across a variable-rate boundary, offsets are scaled by the block's
         *nominal* rate — the same approximation the reference makes when a
         block updates tags with set_relative_rate but consumes variably.
-        """
-        if not tagsrc and not any(self._tags.values()):
-            # fast path: no tags anywhere in flight — the host control
-            # plane must stay negligible next to a >1 Gsps data plane
-            # (benchmarks/executor_overhead_bench.py measures this)
-            for b in self.order:
-                self.nitems[b.name] += self.block_nin[b.uid]
-                self.nitems_out[b.name] += (
-                    self.block_nin[b.uid] // b.decim * b.interp
-                    if not b.variable_rate else
-                    int(self.block_nin[b.uid] * b.nominal_rate))
-            return
-        byname = {b.name: b for b in self.order}
-        for name, (ins, outs) in (tagsrc or {}).items():
-            b = byname[name]
-            new = b.make_tags(ins, outs, self.nitems[name],
-                              self.nitems_out[name])
-            if new:
-                for e in self.flat.downstream_of(b):
-                    k = _edge_key(e)
-                    if k in self._tags:
-                        self._tags[k].extend(new)
-                    elif isinstance(e.dst.block, Pad):
-                        self.pad_tags.setdefault(
-                            e.dst.block.index, []).extend(new)
 
-        for b in self.order:
-            ups = self.flat.upstream_of(b)
-            downs = self.flat.downstream_of(b)
-            n_in = self.block_nin[b.uid]
+        Incremental: blocks whose input edges carry no tags this step are
+        skipped entirely (O(1) set checks); with no tags anywhere the whole
+        pass is two dict-increment loops — the host control plane must stay
+        negligible next to a >1 Gsps data plane
+        (benchmarks/executor_overhead_bench.py measures this).
+        """
+        if not tagsrc and not self._tagged_edges:
+            self._bump_counters()
+            return
+        tagged = self._tagged_edges
+        if tagsrc:
+            byname = {b.name: b for b in self.order}
+            for name, (ins, outs) in tagsrc.items():
+                b = byname[name]
+                new = b.make_tags(ins, outs, self.nitems[name],
+                                  self.nitems_out[name])
+                if new:
+                    for e in self.flat.downstream_of(b):
+                        k = _edge_key(e)
+                        if k in self._tags:
+                            self._tags[k].extend(new)
+                            tagged.add(k)
+                        elif isinstance(e.dst.block, Pad):
+                            self.pad_tags.setdefault(
+                                e.dst.block.index, []).extend(new)
+
+        for b, in_list, down_list, n_in in self._tag_plan:
+            hit = [ik for ik in in_list if ik[1] in tagged]
+            if not hit:
+                continue
             start = self.nitems[b.name]
+            limit = start + n_in
             in_by_port: Dict[int, List[Tag]] = {}
-            for i, e in ups.items():
-                k = _edge_key(e)
-                if k not in self._tags:
-                    continue
-                take = [t for t in self._tags[k] if t.offset < start + n_in]
-                self._tags[k] = [t for t in self._tags[k]
-                                 if t.offset >= start + n_in]
+            for i, k in hit:
+                lst = self._tags[k]
+                take = [t for t in lst if t.offset < limit]
                 if take:
+                    keep = [t for t in lst if t.offset >= limit]
+                    self._tags[k] = keep
+                    if not keep:
+                        tagged.discard(k)
                     in_by_port[i] = take
+            if not in_by_port:
+                continue
             all_in = [t for ts in in_by_port.values() for t in ts]
             if not b.out_ports:
                 # terminal blocks retain their received tags for the host
                 # (the analog of reading gr_buffer tags at a sink)
-                if all_in:
-                    self.sink_tags.setdefault(b.name, []).extend(all_in)
+                self.sink_tags.setdefault(b.name, []).extend(all_in)
                 continue
             if b.tag_propagation == "dont":
                 continue  # consumed, not forwarded (TPP_DONT)
-            for e in downs:
+            for src_port, k, dst_pad in down_list:
                 if b.tag_propagation == "one_to_one":
-                    src_tags = in_by_port.get(e.src.port, [])
+                    src_tags = in_by_port.get(src_port, [])
                 else:  # all_to_all
                     src_tags = all_in
                 if not src_tags:
                     continue
                 out_tags = propagate_tags(src_tags, b.relative_rate)
-                k = _edge_key(e)
-                if k in self._tags:
+                if dst_pad is not None:
+                    self.pad_tags.setdefault(dst_pad, []).extend(out_tags)
+                elif k in self._tags:
                     self._tags[k].extend(out_tags)
-                elif isinstance(e.dst.block, Pad):
-                    self.pad_tags.setdefault(
-                        e.dst.block.index, []).extend(out_tags)
-        for b in self.order:
-            self.nitems[b.name] += self.block_nin[b.uid]
-            self.nitems_out[b.name] += (
-                self.block_nin[b.uid] // b.decim * b.interp
-                if not b.variable_rate else
-                int(self.block_nin[b.uid] * b.nominal_rate))
+                    tagged.add(k)
+        self._bump_counters()
 
     def dump_debug_taps(self, directory: str):
         """Write every edge's captured stream to <dir>/<edge>.dat (raw

@@ -426,3 +426,78 @@ class TestNewPlumbingBlocks:
         spec = np.abs(np.fft.rfft(y * np.hanning(8000)))
         peak = np.argmax(spec) * fs / 8000
         assert abs(peak - f0) < 2.0
+
+
+class TestDeviceLoop:
+    """run(device_loop=True): all chunks in one lax.scan dispatch
+    (the device-side replacement for per-chunk python dispatch)."""
+
+    def test_fixed_rate_matches_stepwise(self):
+        import jax.numpy as jnp
+        from grtpu.runtime.graph import Graph
+        from grtpu.runtime.block import Port
+        from grtpu.runtime.executor import StreamExecutor
+        from grtpu.blocks.filter import FirFilter
+        from grtpu.utils import firdes
+
+        taps = firdes.low_pass(1.0, 32e3, 4e3, 2e3)
+
+        def build():
+            g = Graph()
+            pin = g.add_input(Port(jnp.float32))
+            pout = g.add_output(Port(jnp.float32))
+            g.connect(pin, FirFilter(2, taps, "fff"), pout)
+            return g
+
+        r = np.random.RandomState(0)
+        x = r.randn(4 * 512 + 100).astype(np.float32)
+        ex1 = StreamExecutor(build(), chunk_size=512, donate=False)
+        ref = np.asarray(ex1.run(jnp.asarray(x)))
+        ex2 = StreamExecutor(build(), chunk_size=512, donate=False)
+        got = np.asarray(ex2.run(jnp.asarray(x), device_loop=True))
+        np.testing.assert_array_equal(got, ref)
+        # state continuity: a second device-loop run continues the stream
+        ref2 = np.asarray(ex1.run(jnp.asarray(x)))
+        got2 = np.asarray(ex2.run(jnp.asarray(x), device_loop=True))
+        np.testing.assert_array_equal(got2, ref2)
+
+    def test_vr_graph_matches_stepwise(self):
+        import jax.numpy as jnp
+        from grtpu.runtime.graph import Graph
+        from grtpu.runtime.block import Port
+        from grtpu.runtime.executor import StreamExecutor
+        from grtpu.digital.blocks import ClockRecoveryMMFF
+
+        def build():
+            g = Graph()
+            pin = g.add_input(Port(jnp.float32))
+            pout = g.add_output(Port(jnp.float32))
+            g.connect(pin, ClockRecoveryMMFF(4, 0.25e-4, 0.5, 0.01), pout)
+            return g
+
+        r = np.random.RandomState(1)
+        syms = r.choice([-1.0, 1.0], size=600)
+        x = np.repeat(syms, 4)[:2048].astype(np.float32)
+        ex1 = StreamExecutor(build(), chunk_size=512, donate=False)
+        ref = np.asarray(ex1.run(jnp.asarray(x)))
+        ex2 = StreamExecutor(build(), chunk_size=512, donate=False)
+        got = np.asarray(ex2.run(jnp.asarray(x), device_loop=True))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_tags_rejected(self):
+        import jax.numpy as jnp
+        import pytest
+        from grtpu.runtime.graph import Graph
+        from grtpu.runtime.block import Port
+        from grtpu.runtime.executor import StreamExecutor
+        from grtpu.runtime.tags import Tag
+        from grtpu.blocks.stream import Copy
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        pout = g.add_output(Port(jnp.float32))
+        g.connect(pin, Copy(dtype=jnp.float32), pout)
+        ex = StreamExecutor(g, chunk_size=256, donate=False)
+        ex.add_tags(0, [Tag(5, "k", 1)])
+        with pytest.raises(ValueError, match="host-plane"):
+            ex.run(np.zeros(512, np.float32), device_loop=True)
