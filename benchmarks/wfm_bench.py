@@ -36,22 +36,28 @@ def main():
     kk = float(np.tan(1.0 / (75e-6 * 2.0 * (quad_rate / decim))))
     p1, b0 = np.float32((1 - kk) / (1 + kk)), np.float32(kk / (1 + kk))
 
-    def wfm_bank(iq, st):
+    def wfm_bank(iq, st, fir_impl):
         prod = iq[:, 1:] * jnp.conj(iq[:, :-1])
         fm = gain * jnp.arctan2(prod.imag, prod.real)
-        audio = batch_fir_filter(fm, jnp.asarray(taps), decim)
+        if fir_impl == "pallas":
+            # VMEM phase-split decimating kernel (ops.pallas_fir.fir_decim):
+            # measured ~2.7x over the XLA matmul path on this FIR alone
+            from grtpu.ops.pallas_fir import fir_decim
+            audio = fir_decim(fm, taps, int(decim))
+        else:
+            audio = batch_fir_filter(fm, jnp.asarray(taps), decim)
         u = b0 * (audio + jnp.concatenate([st[:, None], audio[:, :-1]], 1))
         a = jnp.full(u.shape, p1, jnp.float32)
         y, last = jax.vmap(
             lambda aa, uu, s: linear_recurrence(aa, uu, s))(a, u, st)
         return y, last
 
-    def make(m):
+    def make(m, fir_impl):
         @jax.jit
         def g(re, im, st):
             def body(i, s):
                 iq = ((re + s[:, None] * 1e-20) + 1j * im).astype(jnp.complex64)
-                _, s2 = wfm_bank(iq, s)
+                _, s2 = wfm_bank(iq, s, fir_impl)
                 return s2
 
             return jnp.sum(jax.lax.fori_loop(0, m, body, st))
@@ -62,23 +68,27 @@ def main():
     re = jnp.asarray(r.randn(C, N + K).astype(np.float32))
     im = jnp.asarray(r.randn(C, N + K).astype(np.float32))
     st = jnp.zeros((C,), jnp.float32)
-    times = {}
-    for m in (1, 5):
-        g = make(m)
-        float(np.asarray(g(re, im, st)))
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
+    for fir_impl in ("xla", "pallas"):
+        times = {}
+        for m in (1, 5):
+            g = make(m, fir_impl)
             float(np.asarray(g(re, im, st)))
-        times[m] = (time.perf_counter() - t0) / reps
-    per = (times[5] - times[1]) / 4
-    msps = C * N / per / 1e6
-    print(json.dumps({
-        "metric": "wfm_bank_64ch_aggregate",
-        "value": round(msps, 1),
-        "unit": "Msamples/s",
-        "vs_baseline": round(msps / 1000.0, 3),  # target: 1 Gsample/s
-    }))
+            reps = 3
+            vals = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(np.asarray(g(re, im, st)))
+                vals.append(time.perf_counter() - t0)
+            times[m] = float(np.median(vals))
+        per = (times[5] - times[1]) / 4
+        msps = C * N / per / 1e6
+        suffix = "" if fir_impl == "xla" else "_pallas_fir"
+        print(json.dumps({
+            "metric": f"wfm_bank_64ch_aggregate{suffix}",
+            "value": round(msps, 1),
+            "unit": "Msamples/s",
+            "vs_baseline": round(msps / 1000.0, 3),  # target: 1 Gsample/s
+        }))
 
 
 if __name__ == "__main__":

@@ -48,19 +48,29 @@ class FirFilter(Block):
         # FFT path wins for long filters (VPU FFT flops < matmul overhead)
         if impl == "auto":
             impl = "fft" if len(taps) >= 128 and decimation == 1 else "mxu"
-        if impl == "pallas" and (sig != "fff" or decimation != 1):
-            raise ValueError("impl='pallas' supports fff decim=1 streams "
-                             "(the VMEM long-FIR kernel)")
+        if impl == "pallas" and sig not in ("fff", "ccf", "ccc"):
+            raise ValueError("impl='pallas' supports fff/ccf/ccc streams "
+                             "(the VMEM kernel works on f32 planes)")
         self.impl = impl
+        self._sig = sig
         self._out_cast = _dt(out_t)
 
     def apply(self, state, x):
         if self.impl == "pallas":
-            # grtpu.ops.pallas_fir.fir_long: VMEM-resident MXU kernel,
-            # efficiency K/(K+127) — the choice for long/composed filters
-            from grtpu.ops.pallas_fir import fir_long
+            # grtpu.ops.pallas_fir: VMEM-resident MXU kernels — fir_decim
+            # phase-splits decimating filters so every MXU op stays dense,
+            # and complex streams ride the same grid as extra plane rows
+            # (measured 2-3x over the XLA matmul path on the WBFM bank's
+            # decimating FIR, benchmarks/wfm_bench.py)
+            from grtpu.ops import pallas_fir as pf
 
-            return state, fir_long(x, self.taps).astype(self._out_cast)
+            if self._sig == "fff":
+                y = pf.fir_decim(x, self.taps, self.decim)
+            elif self._sig == "ccf":
+                y = pf.fir_decim_c(x, self.taps, self.decim)
+            else:  # ccc
+                y = pf.fir_decim_cc(x, self.taps, self.decim)
+            return state, y.astype(self._out_cast)
         f = _fftfir if self.impl == "fft" else _fir
         y = f(x, self.taps, self.decim)
         if self._out_cast == jnp.int16:

@@ -118,11 +118,11 @@ def _cascade_kernel(x_hbm, th_ref, tl_ref, o_ref, buf2, buf, bh, bl, sems,
             bl[R:] = jnp.zeros((pad, LANE), jnp.bfloat16)
         y = jnp.zeros((R, LANE), jnp.float32)
         for d in range(nshift):
-            th_d = th_ref[d * LANE:(d + 1) * LANE]
+            th_d = th_ref[0, d * LANE:(d + 1) * LANE]
             wh = bh[d:R + d]
             y += mm(wh, th_d)
             if precision == "bf16x3":
-                y += mm(wh, tl_ref[d * LANE:(d + 1) * LANE])
+                y += mm(wh, tl_ref[0, d * LANE:(d + 1) * LANE])
                 y += mm(bl[d:R + d], th_d)
         pre = halo_alloc - nh
         o_ref[0] = y[pre:pre + tile_rows]
@@ -144,7 +144,7 @@ def _cascade_kernel(x_hbm, th_ref, tl_ref, o_ref, buf2, buf, bh, bl, sems,
         if precision == "f32":
             y = jnp.zeros((R, LANE), jnp.float32)
             for d in range(nshift):
-                y += mm(buf[d:R + d], th_ref[d * LANE:(d + 1) * LANE],
+                y += mm(buf[d:R + d], th_ref[0, d * LANE:(d + 1) * LANE],
                         jax.lax.Precision.HIGHEST)
         elif precision == "bf16":
             # single-pass: data+taps rounded to bf16 (rel err ~4e-3, ~48 dB
@@ -152,14 +152,14 @@ def _cascade_kernel(x_hbm, th_ref, tl_ref, o_ref, buf2, buf, bh, bl, sems,
             bh[:] = buf[:].astype(jnp.bfloat16)
             y = jnp.zeros((R, LANE), jnp.float32)
             for d in range(nshift):
-                y += mm(bh[d:R + d], th_ref[d * LANE:(d + 1) * LANE])
+                y += mm(bh[d:R + d], th_ref[0, d * LANE:(d + 1) * LANE])
         else:  # bf16x3: manual split-word 3-pass (rel err ~3e-5)
             bh[:] = buf[:].astype(jnp.bfloat16)
             bl[:] = (buf[:] - bh[:].astype(jnp.float32)).astype(jnp.bfloat16)
             y = jnp.zeros((R, LANE), jnp.float32)
             for d in range(nshift):
-                th_d = th_ref[d * LANE:(d + 1) * LANE]
-                tl_d = tl_ref[d * LANE:(d + 1) * LANE]
+                th_d = th_ref[0, d * LANE:(d + 1) * LANE]
+                tl_d = tl_ref[0, d * LANE:(d + 1) * LANE]
                 wh = bh[d:R + d]
                 y += mm(wh, th_d) + mm(wh, tl_d) + mm(bl[d:R + d], th_d)
         buf[:R] = y
@@ -207,14 +207,7 @@ def fir_cascade(x: jnp.ndarray, taps: np.ndarray, nstages: int,
     x2 = xp.reshape(b, rows + halo_alloc + pad_rows, LANE)
 
     # reversed taps: the W@T correlation machinery then computes convolution
-    T = _tap_matrix_np(_pad_taps(taps)[::-1].copy())
-    if precision == "bf16x3":
-        th = jnp.asarray(T).astype(jnp.bfloat16)
-        tl = (jnp.asarray(T) - th.astype(jnp.float32)).astype(jnp.bfloat16)
-        tmat_hi, tmat_lo = th, tl
-    else:
-        tmat_hi = jnp.asarray(T)
-        tmat_lo = jnp.asarray(np.zeros_like(T))
+    tmat_hi, tmat_lo = _tap_group([taps], precision)
 
     kern = functools.partial(_cascade_kernel, nstages=nstages,
                              tile_rows=tile_rows, halo_alloc=halo_alloc,
@@ -227,9 +220,9 @@ def fir_cascade(x: jnp.ndarray, taps: np.ndarray, nstages: int,
         grid=(b, ntiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
-            pl.BlockSpec(((nh + 1) * LANE, LANE), lambda i, t: (0, 0),
+            pl.BlockSpec((1, (nh + 1) * LANE, LANE), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(((nh + 1) * LANE, LANE), lambda i, t: (0, 0),
+            pl.BlockSpec((1, (nh + 1) * LANE, LANE), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_rows, LANE), lambda i, t: (i, t, 0),
@@ -248,6 +241,20 @@ def fir_cascade(x: jnp.ndarray, taps: np.ndarray, nstages: int,
     return y.reshape(b, -1)[:, :n]
 
 
+def _tap_group(tapsets, precision):
+    """Stack per-batch tap matrices: tapsets (G, L) (or list of 1-D arrays
+    of equal length) -> (G, (nh+1)*128, 128) hi/lo pair.  Grid batch row i
+    uses tap set ``i % G`` (phase-major batch ordering)."""
+    mats = [_tap_matrix_np(_pad_taps(np.asarray(tp, np.float32))[::-1].copy())
+            for tp in tapsets]
+    T = np.stack(mats)
+    if precision in ("bf16x3", "bf16"):
+        th = jnp.asarray(T).astype(jnp.bfloat16)
+        tl = (jnp.asarray(T) - th.astype(jnp.float32)).astype(jnp.bfloat16)
+        return th, tl
+    return jnp.asarray(T), jnp.asarray(np.zeros_like(T))
+
+
 def fir_long(x: jnp.ndarray, taps: np.ndarray,
              tile_rows: int = 1024, interpret: bool = False,
              precision: str = "bf16x3") -> jnp.ndarray:
@@ -261,34 +268,146 @@ def fir_long(x: jnp.ndarray, taps: np.ndarray,
     K/(K+127): 80% at 513 taps, 97% at 4097) and the target of the
     FIR-chain fusion pass (grtpu.runtime.optimize).
 
-    f32 streams / real taps only (the complex decomposition composes this
-    four ways like ops.fir._matmul if needed).
+    f32 streams / real taps only (fir_decim handles decimation;
+    fir_long_c composes the complex planes).
     """
     taps = np.asarray(taps, np.float32)
     k = len(taps)
     n = x.shape[0] - (k - 1)
+    y = _phase_batched(x[None, :], [taps], n, tile_rows, interpret,
+                       precision)
+    return y[0, :n]
+
+
+def batch_fir_long(x: jnp.ndarray, taps: np.ndarray,
+                   tile_rows: int = 1024, interpret: bool = False,
+                   precision: str = "bf16x3") -> jnp.ndarray:
+    """fir_long over a channel batch: x (C, n + K - 1) -> (C, n)."""
+    taps = np.asarray(taps, np.float32)
+    n = x.shape[1] - (len(taps) - 1)
+    y = _phase_batched(x, [taps], n, tile_rows, interpret, precision)
+    return y[:, :n]
+
+
+def _phase_split_taps(taps: np.ndarray, d: int) -> np.ndarray:
+    """Decompose a decimating FIR into d per-phase full-rate FIRs on the
+    d interleaved substreams z_p[e] = x[e*d + p]:
+
+        y[j] = sum_k taps[k] x[j*d + K-1 - k]
+             = sum_p sum_i h[p, i] z_p[j + L-1 - i]
+
+    (classic polyphase decimation, cf. the reference's per-phase engine
+    loop in gr_fir_filter_XXX decimation).  Returns h (d, L)."""
+    taps = np.asarray(taps, np.float32)
+    k = len(taps)
+    L = (k - 1) // d + 1
+    h = np.zeros((d, L), np.float32)
+    for kk in range(k):
+        p = (k - 1 - kk) % d
+        sft = (k - 1 - kk - p) // d
+        h[p, L - 1 - sft] = taps[kk]
+    return h
+
+
+def fir_decim(x: jnp.ndarray, taps: np.ndarray, decim: int,
+              tile_rows: int = 1024, interpret: bool = False,
+              precision: str = "bf16x3") -> jnp.ndarray:
+    """Decimating Pallas FIR with the ops.fir.fir_filter contract:
+    x carries K-1 leading history, returns n // decim outputs.
+
+    Phase-split on the host (one XLA transpose), then ALL phases of ALL
+    channels run as one kernel grid with per-phase tap matrices; the
+    d-way phase sum happens in XLA on the (decimated) outputs, so the
+    kernel never touches a strided access and the MXU work per input
+    sample is exactly 2K/d FLOP.
+    """
+    if x.ndim == 1:
+        return fir_decim(x[None, :], taps, decim, tile_rows=tile_rows,
+                         interpret=interpret, precision=precision)[0]
+    taps = np.asarray(taps, np.float32)
+    d = int(decim)
+    if d == 1:
+        return batch_fir_long(x, taps, tile_rows, interpret, precision)
+    c, total = x.shape
+    k = len(taps)
+    n = total - (k - 1)
+    assert n % d == 0, "fresh input must be a multiple of decim"
+    nout = n // d
+    h = _phase_split_taps(taps, d)          # (d, L)
+    L = h.shape[1]
+    need = (nout + L - 1) * d
+    xp = (jnp.pad(x, ((0, 0), (0, need - total))) if need > total
+          else x[:, :need])
+    # z[c, p, e] = x[c, e*d + p]  (one relayout, fused by XLA)
+    z = xp.reshape(c, nout + L - 1, d).transpose(0, 2, 1)
+    z = z.reshape(c * d, nout + L - 1)
+    y = _phase_batched(z, list(h), nout, tile_rows, interpret, precision)
+    y = y[:, :nout].reshape(c, d, nout)
+    return jnp.sum(y, axis=1)
+
+
+def fir_decim_c(x: jnp.ndarray, taps: np.ndarray, decim: int = 1,
+                tile_rows: int = 1024, interpret: bool = False,
+                precision: str = "bf16x3") -> jnp.ndarray:
+    """Complex-stream real-taps (ccf) Pallas FIR with optional decimation:
+    the two real planes ride the same kernel grid as extra batch rows."""
+    if x.ndim == 1:
+        return fir_decim_c(x[None, :], taps, decim, tile_rows=tile_rows,
+                           interpret=interpret, precision=precision)[0]
+    planes = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=0)
+    y = fir_decim(planes, taps, decim, tile_rows, interpret, precision)
+    c = x.shape[0]
+    return (y[:c] + 1j * y[c:]).astype(jnp.complex64)
+
+
+def fir_decim_cc(x: jnp.ndarray, taps: np.ndarray, decim: int = 1,
+                 tile_rows: int = 1024, interpret: bool = False,
+                 precision: str = "bf16x3") -> jnp.ndarray:
+    """Complex-stream complex-taps (ccc): four real passes
+    (r*tr - i*ti) + j(r*ti + i*tr) batched through one kernel grid each
+    per tap plane."""
+    if x.ndim == 1:
+        return fir_decim_cc(x[None, :], taps, decim, tile_rows=tile_rows,
+                            interpret=interpret, precision=precision)[0]
+    taps = np.asarray(taps)
+    planes = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=0)
+    yr = fir_decim(planes, np.real(taps).astype(np.float32), decim,
+                   tile_rows, interpret, precision)
+    yi = fir_decim(planes, np.imag(taps).astype(np.float32), decim,
+                   tile_rows, interpret, precision)
+    c = x.shape[0]
+    out_r = yr[:c] - yi[c:]
+    out_i = yi[:c] + yr[c:]
+    return (out_r + 1j * out_i).astype(jnp.complex64)
+
+
+def _phase_batched(xb, tapsets, n, tile_rows, interpret, precision):
+    """Run the single-stage kernel over batch rows with per-row tap sets
+    (row i uses tapsets[i % G]).  Each row of xb carries L-1 leading
+    history samples (L = tap set length); returns (B, rows*128) with the
+    first n samples per row valid."""
+    b = xb.shape[0]
+    k = len(tapsets[0])
     nh = _halo_rows(k)
     halo = nh * LANE
     # place the real history where the kernel's zero-halo normally sits:
     # prepend (halo - (k-1)) zeros so sample 0 of the output aligns
-    xp = jnp.concatenate([jnp.zeros(halo - (k - 1), x.dtype), x])
-    # ensure the tile grid covers n outputs
+    xp = jnp.pad(xb, ((0, 0), (halo - (k - 1), 0)))
     rows = -(-n // LANE)
     need = halo + rows * LANE
-    if xp.shape[0] < need:
-        xp = jnp.concatenate(
-            [xp, jnp.zeros(need - xp.shape[0], x.dtype)])
+    if xp.shape[1] < need:
+        xp = jnp.pad(xp, ((0, 0), (0, need - xp.shape[1])))
     else:
-        xp = xp[:need]
-    y = _single_stage(xp[None, :], taps, tile_rows, interpret, precision,
-                      nh)
-    return y[0, :n]
+        xp = xp[:, :need]
+    return _single_stage(xp, tapsets, tile_rows, interpret, precision, nh)
 
 
-def _single_stage(xp, taps, tile_rows, interpret, precision, nh):
+def _single_stage(xp, tapsets, tile_rows, interpret, precision, nh):
     """Run the cascade kernel with pre-supplied halo samples (xp already
-    contains nh*LANE leading context) on a (1, halo + rows*LANE) array."""
+    contains nh*LANE leading context per row); grid batch row i uses tap
+    set i % len(tapsets)."""
     b, total = xp.shape
+    g = len(tapsets)
     halo = nh * LANE
     rows = (total - halo) // LANE
     tile_rows = min(tile_rows, _round8(rows))
@@ -299,14 +418,7 @@ def _single_stage(xp, taps, tile_rows, interpret, precision, nh):
     x2 = jnp.pad(xp, ((0, 0), (extra, pad_rows * LANE)))
     x2 = x2.reshape(b, rows + halo_alloc + pad_rows, LANE)
 
-    T = _tap_matrix_np(_pad_taps(taps)[::-1].copy())
-    if precision in ("bf16x3", "bf16"):
-        th = jnp.asarray(T).astype(jnp.bfloat16)
-        tl = (jnp.asarray(T) - th.astype(jnp.float32)).astype(jnp.bfloat16)
-        tmat_hi, tmat_lo = th, tl
-    else:
-        tmat_hi = jnp.asarray(T)
-        tmat_lo = jnp.asarray(np.zeros_like(T))
+    tmat_hi, tmat_lo = _tap_group(tapsets, precision)
     R = tile_rows + halo_alloc
     kern = functools.partial(_cascade_kernel, nstages=1,
                              tile_rows=tile_rows, halo_alloc=halo_alloc,
@@ -319,9 +431,11 @@ def _single_stage(xp, taps, tile_rows, interpret, precision, nh):
         grid=(b, ntiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(((nh + 1) * LANE, LANE), lambda i, t: (0, 0),
+            pl.BlockSpec((1, (nh + 1) * LANE, LANE),
+                         lambda i, t: (i % g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(((nh + 1) * LANE, LANE), lambda i, t: (0, 0),
+            pl.BlockSpec((1, (nh + 1) * LANE, LANE),
+                         lambda i, t: (i % g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_rows, LANE), lambda i, t: (i, t, 0),

@@ -508,10 +508,10 @@ class TestPallasReachableFromFlowgraphs:
         x = rng.randn(2048).astype(np.float32)
 
         import functools
-        orig = pallas_fir.fir_long
-        pallas_fir.fir_long = functools.partial(orig, interpret=True,
-                                                precision="f32",
-                                                tile_rows=256)
+        orig = pallas_fir.fir_decim
+        pallas_fir.fir_decim = functools.partial(orig, interpret=True,
+                                                 precision="f32",
+                                                 tile_rows=256)
         try:
             g = Graph()
             pin = g.add_input(Port(jnp.float32))
@@ -519,10 +519,90 @@ class TestPallasReachableFromFlowgraphs:
             g.connect(pin, FirFilter(1, taps, "fff", impl="pallas"), pout)
             y = np.asarray(StreamExecutor(g, chunk_size=1024).run(x))
         finally:
-            pallas_fir.fir_long = orig
+            pallas_fir.fir_decim = orig
         g2 = Graph()
         pin2 = g2.add_input(Port(jnp.float32))
         pout2 = g2.add_output(Port(jnp.float32))
         g2.connect(pin2, FirFilter(1, taps, "fff", impl="mxu"), pout2)
         ref = np.asarray(StreamExecutor(g2, chunk_size=1024).run(x))
         assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+class TestPallasDecimComplex:
+    """Decimating + complex Pallas FIR paths (interpret mode): golden vs
+    ops.fir.fir_filter for every signature FirFilter's impl='pallas' now
+    routes (fff/ccf/ccc, any decim) — the gr_fir per-signature engine
+    coverage (gr_fir_sysconfig_x86.cc:176-200) on the VMEM kernel."""
+
+    @pytest.mark.parametrize("k,d", [(31, 2), (155, 8), (256, 4), (129, 1)])
+    def test_fff_decim(self, k, d):
+        from grtpu.ops.pallas_fir import fir_decim
+
+        n = 512 * d if d > 1 else 512
+        x = RNG.randn(n + k - 1).astype(np.float32)
+        taps = (RNG.randn(k) / k).astype(np.float32)
+        ref = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), d))
+        got = np.asarray(fir_decim(jnp.asarray(x), taps, d,
+                                   interpret=True, precision="f32"))
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(got - ref).max() / scale < 1e-5
+
+    def test_ccf_decim(self):
+        from grtpu.ops.pallas_fir import fir_decim_c
+
+        k, d, n = 200, 4, 1024
+        x = (RNG.randn(n + k - 1) + 1j * RNG.randn(n + k - 1)).astype(
+            np.complex64)
+        taps = (RNG.randn(k) / k).astype(np.float32)
+        ref = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), d))
+        got = np.asarray(fir_decim_c(jnp.asarray(x), taps, d,
+                                     interpret=True, precision="f32"))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_ccc_decim(self):
+        from grtpu.ops.pallas_fir import fir_decim_cc
+
+        k, d, n = 96, 2, 512
+        x = (RNG.randn(n + k - 1) + 1j * RNG.randn(n + k - 1)).astype(
+            np.complex64)
+        taps = ((RNG.randn(k) + 1j * RNG.randn(k)) / k).astype(np.complex64)
+        ref = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), d))
+        got = np.asarray(fir_decim_cc(jnp.asarray(x), taps, d,
+                                      interpret=True, precision="f32"))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_batch_channels(self):
+        from grtpu.ops.pallas_fir import fir_decim
+
+        k, d, c, n = 64, 8, 3, 2048
+        x = RNG.randn(c, n + k - 1).astype(np.float32)
+        taps = (RNG.randn(k) / k).astype(np.float32)
+        ref = np.stack([
+            np.asarray(fir_filter(jnp.asarray(x[i]), jnp.asarray(taps), d))
+            for i in range(c)])
+        got = np.asarray(fir_decim(jnp.asarray(x), taps, d,
+                                   interpret=True, precision="f32"))
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_firfilter_block_pallas_impl(self):
+        """FirFilter(impl='pallas') now covers decimating ccf — the
+        configuration real chains use (round-2 weak item #3)."""
+        from grtpu.blocks.filter import FirFilter
+
+        k, d = 64, 4
+        taps = (RNG.randn(k) / k).astype(np.float32)
+        blk = FirFilter(d, taps, "ccf", impl="pallas")
+        x = (RNG.randn(512 * d + k - 1)
+             + 1j * RNG.randn(512 * d + k - 1)).astype(np.complex64)
+        import jax
+        with jax.disable_jit():  # interpret-mode pallas needs no TPU
+            import grtpu.ops.pallas_fir as pf
+            orig_c = pf.fir_decim_c
+            try:
+                pf.fir_decim_c = lambda xx, tt, dd, **kw: orig_c(
+                    xx, tt, dd, interpret=True, precision="f32")
+                _, got = blk.apply(blk.init_state(), jnp.asarray(x))
+            finally:
+                pf.fir_decim_c = orig_c
+        ref = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), d))
+        assert np.abs(np.asarray(got) - ref).max() / np.abs(ref).max() < 1e-5
