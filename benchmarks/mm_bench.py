@@ -77,10 +77,34 @@ def main():
             return jax.lax.fori_loop(0, m, body, jnp.float32(0))
         return g
 
+    def make_windowed_frac(m, fsps=5.3):
+        P, Q = loops.rationalize_sps(fsps)
+        Lf = -(-P // Q) + 2 * W + loops.NTAPS
+        Tf = T - T % Q
+        nf = Tf * P // Q + Lf
+        st = loops.mm_windowed_init_state(fsps, 0.5)
+        st = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (C,) + a.shape), st)
+        xf = jnp.asarray(np.random.RandomState(1).randn(C, nf)
+                         .astype(np.float32))
+
+        @jax.jit
+        def g(x):
+            def body(i, s):
+                ys, _ = jax.vmap(lambda xs, stt: loops.
+                                 clock_recovery_mm_ff_windowed(
+                                     xs + s * 1e-20, stt, fsps, go, gm,
+                                     W=W))(x, st)
+                return jnp.sum(ys)
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+        return lambda _x: g(xf)
+
     per_w = bench(make_windowed)
     win_msps = C * T / per_w / 1e6
     per_l = bench(make_loop)
     loop_msps = C * T / per_l / 1e6
+    per_f = bench(make_windowed_frac)
+    frac_msps = C * (T - T % 10) / per_f / 1e6
 
     print(json.dumps({
         "metric": "mm_clock_recovery_windowed",
@@ -93,6 +117,12 @@ def main():
         "value": round(loop_msps, 2),
         "unit": "Msymbols/s",
         "streams": C, "sps": sps,
+    }))
+    print(json.dumps({
+        "metric": "mm_clock_recovery_windowed_frac",
+        "value": round(frac_msps, 1),
+        "unit": "Msymbols/s",
+        "streams": C, "sps": 5.3,
     }))
 
 

@@ -261,23 +261,26 @@ class PfbClockSync(Block):
         return st, (ys, n_valid)
 
 
-def pfb_clock_sync_windowed(x: jnp.ndarray, state, sps: int,
+def pfb_clock_sync_windowed(x: jnp.ndarray, state, sps: float,
                             taps: np.ndarray, nfilts: int, loop_bw: float,
                             max_dev: float = 1.5, W: int = 32):
-    """Fixed-rate, gather-free pfb_clock_sync for integer sps.
+    """Fixed-rate, gather-free pfb_clock_sync at integer OR fractional sps
+    (float sps is the reference contract, gr_pfb_clock_sync_ccf.cc).
 
     Same recursion as pfb_clock_sync, but the per-symbol dynamic_slice into
     the chunk and the bank[ki] row gather (both ~100x the arithmetic cost
     inside a scan on TPU — see CLAUDE.md) are replaced by static-stride
-    per-symbol rows plus in-row / in-bank one-hot selects.  The timing
-    pointer's bounded drift from t*sps rides in the state (clipped at +-W).
+    per-symbol rows plus in-row / in-bank one-hot selects.  Rows follow the
+    floor grid I_t = floor(t*sps) (loops._window_rows); since the exact
+    loop's pointer is base_t = t*sps + R_t with R_t the integer sum of
+    filter-phase wrap slips, floor(base_t) - I_t == R_t exactly, so the
+    integer drift rides the state unchanged (clipped at +-W).
 
-    x: (T-1)*sps + L samples with L = sps + 2W + kp (W leading history).
-    state: (k, rate_f, rel).  Returns ((T,) symbols, new state).
+    x: ~(T-1)*sps + L samples with L = ceil(sps) + 2W + kp (W leading
+    history).  state: (k, rate_f, rel).  Returns ((T,) symbols, new state).
     """
-    if sps != int(sps):
-        raise ValueError("windowed pfb clock sync needs integer sps")
-    sps = int(sps)
+    from grtpu.digital.loops import _window_rows
+
     proto = np.asarray(taps)
     bank = pfb_ops.polyphase_taps(proto, nfilts)[:, ::-1].copy()
     dproto = np.empty_like(proto)
@@ -286,10 +289,7 @@ def pfb_clock_sync_windowed(x: jnp.ndarray, state, sps: int,
     dbank = pfb_ops.polyphase_taps(dproto, nfilts)[:, ::-1].copy()
     kp = bank.shape[1]
     bj, dj = jnp.asarray(bank), jnp.asarray(dbank)
-    L = sps + 2 * W + kp
-    T = (x.shape[0] - L) // sps + 1
-    rows = jnp.stack([x[k: k + (T - 1) * sps + 1: sps] for k in range(L)],
-                     axis=1)
+    rows, _, T, L = _window_rows(x, sps, W, kp)
     alpha, beta = dsp.control_loop_gains(loop_bw)
     npos = L - kp + 1
     pos_iota = jnp.arange(npos)

@@ -48,13 +48,26 @@ class GenericModem:
         self.freq_bw, self.timing_bw, self.phase_bw = (freq_bw, timing_bw,
                                                        phase_bw)
         self.nfilts = nfilts
-        ntaps = 11 * samples_per_symbol
-        self.rrc = firdes.root_raised_cosine(
-            samples_per_symbol, samples_per_symbol, 1.0, excess_bw, ntaps)
+        # fractional sps is the reference contract (generic_mod_demod.py:94
+        # "samples per baud >= 2", float): the modulator's RRC shaping runs
+        # as a pfb_arb_resampler at rate sps (reference :140), the receiver
+        # clock sync on the fractional floor grid (pfb_clock_sync_windowed)
+        from grtpu.digital.loops import rationalize_sps
+        self._spsP, self._spsQ = rationalize_sps(samples_per_symbol)
+        if self._spsQ == 1:
+            ntaps = 11 * int(samples_per_symbol)
+            self.rrc = firdes.root_raised_cosine(
+                int(samples_per_symbol), int(samples_per_symbol), 1.0,
+                excess_bw, ntaps)
+        else:
+            # arb-resampler prototype at the bank's internal rate
+            # (reference generic_mod :133-140)
+            self.rrc = firdes.root_raised_cosine(
+                nfilts, nfilts, 1.0, excess_bw, 11 * nfilts)
         # matched-filter bank for pfb_clock_sync at nfilts phases
         self.mf_bank = firdes.root_raised_cosine(
             nfilts, nfilts * samples_per_symbol, 1.0, excess_bw,
-            11 * samples_per_symbol * nfilts)
+            int(round(11 * samples_per_symbol)) * nfilts)
         gray = [i ^ (i >> 1) for i in range(m)]
         self.gray_map = np.asarray(gray, np.int32)
         inv = np.zeros(m, np.int32)
@@ -80,9 +93,22 @@ class GenericModem:
         return self._mod_jit(xfer.device_complex(cpx))
 
     def _mod_dev(self, cpx):
-        kp = -(-len(self.rrc) // self.sps)
-        xh = jnp.pad(cpx, (kp - 1, 0))
-        return interp_fir_filter(xh, jnp.asarray(self.rrc), self.sps)
+        if self._spsQ == 1:
+            kp = -(-len(self.rrc) // int(self.sps))
+            xh = jnp.pad(cpx, (kp - 1, 0))
+            return interp_fir_filter(xh, jnp.asarray(self.rrc),
+                                     int(self.sps))
+        # fractional sps: RRC pulse shaping as an arbitrary resampler at
+        # rate sps (gr.pfb_arb_resampler_ccf, reference generic_mod :140)
+        from fractions import Fraction
+        from grtpu.ops import pfb as pfb_ops
+        rate = Fraction(self._spsP, self._spsQ)
+        kp = -(-len(self.rrc) // self.nfilts)
+        pad_syms = (-cpx.shape[0]) % self._spsQ  # n*rate must be integral
+        xh = jnp.pad(cpx, (kp - 1, pad_syms))
+        # self.rrc already carries gain nfilts — the bank normalization
+        # the polyphase split divides back out (reference design)
+        return pfb_ops.arb_resample(xh, self.rrc, rate, self.nfilts)
 
     # --------------------------------------------------------------- demod
     def demodulate(self, x) -> np.ndarray:
@@ -120,11 +146,11 @@ class GenericModem:
         W = 32
         st = pfb_clock_sync_windowed_init(self.nfilts)
         kp = -(-len(self.mf_bank) // self.nfilts)
-        L = self.sps + 2 * W + kp
-        t_eff = max((xf.shape[0] - kp) // self.sps, 1)   # static
+        L = -(-self._spsP // self._spsQ) + 2 * W + kp
+        t_eff = max(int((xf.shape[0] - kp) // self.sps), 1)   # static
         n_valid = jnp.asarray(t_eff, jnp.int32)
         xw = jnp.concatenate([jnp.zeros(W, xf.dtype), xf,
-                              jnp.zeros(L, xf.dtype)])
+                              jnp.zeros(L + self._spsP, xf.dtype)])
         ys, clk_state = pfb_clock_sync_windowed(
             xw, st, self.sps, self.mf_bank, self.nfilts, self.timing_bw,
             W=W)

@@ -348,32 +348,67 @@ def mm_windowed_init_state(omega: float, mu: float = 0.5,
                       jnp.zeros((), jnp.float32), z)
 
 
+def rationalize_sps(sps: float, max_denominator: int = 64):
+    """Nominal samples/symbol -> (P, Q) with P/Q = sps to within
+    1/(max_denominator^2) — far inside any omega_relative_limit.  Q == 1
+    recovers the integer fast path exactly."""
+    from fractions import Fraction
+    fr = Fraction(float(sps)).limit_denominator(max_denominator)
+    return fr.numerator, fr.denominator
+
+
+def _window_rows(x: jnp.ndarray, sps: float, W: int, width: int):
+    """Per-symbol rows on the floor grid of the nominal clock.
+
+    Symbol t's row starts at I_t = floor(t*P/Q) (P/Q = rationalized sps):
+    rows[t, k] = x[I_t + k], L = ceil(P/Q) + 2W + width.  x carries W
+    leading history samples (the executor halo).  Fractional rates build Q
+    interleaved stride-P groups (strided slices, never an index gather —
+    TPU gathers are ~150x the arithmetic, see CLAUDE.md) with static
+    residue offsets c_r = floor(r*P/Q).
+
+    Returns (rows, d, T, L) with d[t] = I_{t+1} - I_t, the per-symbol
+    nominal integer-grid advance the loop recursion consumes.
+    """
+    P, Q = rationalize_sps(sps)
+    dmax = -(-P // Q)
+    L = dmax + 2 * W + width
+    offs = [(r * P) // Q for r in range(Q)]
+    Tq = (x.shape[0] - L - offs[-1]) // P + 1
+    groups = [
+        jnp.stack([x[c + k: c + k + (Tq - 1) * P + 1: P] for k in range(L)],
+                  axis=1)
+        for c in offs]
+    rows = (groups[0] if Q == 1
+            else jnp.stack(groups, axis=1).reshape(Q * Tq, L))
+    T = Q * Tq
+    grid = (np.arange(T + 1, dtype=np.int64) * P) // Q
+    d = jnp.asarray((grid[1:] - grid[:-1]).astype(np.float32))
+    return rows, d, T, L
+
+
 def _mm_window_rows(x: jnp.ndarray, sps: int, W: int):
-    """(T, L) rows with rows[t, k] = x[t*sps + k], L = sps + 2W + NTAPS.
-    x carries W leading history samples (the executor halo)."""
-    L = sps + 2 * W + NTAPS
-    T = (x.shape[0] - L) // sps + 1
-    rows = jnp.stack([x[k: k + (T - 1) * sps + 1: sps] for k in range(L)],
-                     axis=1)
+    """(T, L) rows with rows[t, k] = x[t*sps + k] (integer-sps legacy
+    surface; the general form is :func:`_window_rows`)."""
+    rows, _, T, L = _window_rows(x, int(sps), W, NTAPS)
     return rows, T, L
 
 
 def _mm_windowed(x, state, sps, gain_omega, gain_mu, omega_relative_limit,
                  W, slc):
-    if sps != int(sps):
-        raise ValueError("windowed M&M needs integer samples/symbol; "
-                         "use clock_recovery_mm_ff/cc for fractional sps")
-    sps = int(sps)
-    om_lim = sps * omega_relative_limit
-    rows, T, L = _mm_window_rows(x, sps, W)
     if W is None:
         raise ValueError("W must be set")
+    P, Q = rationalize_sps(sps)
+    sps_nom = P / Q
+    om_lim = sps_nom * omega_relative_limit
+    rows, d, T, L = _window_rows(x, sps, W, NTAPS)
     bank = jnp.asarray(mmse_taps())
     npos = L - NTAPS + 1
     pos_iota = jnp.arange(npos)
     ph_iota = jnp.arange(NSTEPS + 1)
 
-    def f(carry, row):
+    def f(carry, inp):
+        row, dt = inp
         mu, omega, rel, last = carry
         p = (jnp.round(rel).astype(jnp.int32) + W)
         oh = (pos_iota == p).astype(jnp.float32)
@@ -385,26 +420,31 @@ def _mm_windowed(x, state, sps, gain_omega, gain_mu, omega_relative_limit,
         err = jnp.clip(jnp.real(jnp.conj(slc(last)) * samp
                                 - jnp.conj(slc(samp)) * last), -1.0, 1.0)
         omega2 = jnp.clip(omega + gain_omega * err,
-                          sps - om_lim, sps + om_lim)
+                          sps_nom - om_lim, sps_nom + om_lim)
         step = mu + omega2 + gain_mu * err
         adv = jnp.floor(step)
-        rel2 = jnp.clip(rel + adv - sps, float(-W + 1), float(W - 1))
+        # the loop pointer advances by adv samples; the nominal grid the
+        # rows follow advances by dt — the drift delta is their difference
+        rel2 = jnp.clip(rel + adv - dt, float(-W + 1), float(W - 1))
         return MMWinState(step - adv, omega2, rel2, samp), samp
 
     # unroll: the per-symbol step is tiny, so scan iteration overhead
     # dominates; unrolling 16 steps per iteration measures +55% aggregate
     # on v5e (94 -> 145 Msym/s at 1024 streams) and plateaus beyond
-    new_state, ys = jax.lax.scan(f, state, rows, unroll=16)
+    new_state, ys = jax.lax.scan(f, state, (rows, d), unroll=16)
     return ys, new_state
 
 
 def clock_recovery_mm_ff_windowed(
-        x: jnp.ndarray, state: MMWinState, sps: int,
+        x: jnp.ndarray, state: MMWinState, sps: float,
         gain_omega: float, gain_mu: float,
         omega_relative_limit: float = 0.001, W: int = 32):
-    """Fixed-rate M&M for integer samples/symbol: (T*sps + 2W + NTAPS,)
-    samples (incl. W history) -> exactly (T,) symbols.  Bit-exact vs
-    clock_recovery_mm_ff while the timing drift stays inside +-W."""
+    """Fixed-rate M&M at integer OR fractional samples/symbol (float
+    omega is the reference contract, digital_clock_recovery_mm_cc.cc:160-217):
+    rows ride the floor grid of the rationalized nominal clock, so
+    ~T*sps + 2W + NTAPS samples (incl. W history) -> exactly (T,) symbols.
+    Bit-exact vs clock_recovery_mm_ff while the timing drift stays
+    inside +-W."""
     def slc(v):
         return jnp.where(v > 0, 1.0, -1.0)
     return _mm_windowed(x, state, sps, gain_omega, gain_mu,
@@ -412,7 +452,7 @@ def clock_recovery_mm_ff_windowed(
 
 
 def clock_recovery_mm_cc_windowed(
-        x: jnp.ndarray, state: MMWinState, sps: int,
+        x: jnp.ndarray, state: MMWinState, sps: float,
         gain_omega: float, gain_mu: float,
         omega_relative_limit: float = 0.001, W: int = 32):
     """Complex windowed M&M (conjugated-decision TED, as

@@ -35,14 +35,52 @@ STRUCTURAL_KEYS = frozenset({
     "virtual_sink", "virtual_source",
 })
 
-# Declared out of scope (SURVEY.md §7 non-goals: GUI/control surfaces and
-# host-socket plumbing superseded by io.udp + ICI collectives).
-UNSUPPORTED_KEYS = {
-    "blks2_tcp_sink": "TCP socket plumbing (UDP + ICI collectives cover IO)",
-    "blks2_tcp_source": "TCP socket plumbing",
-    "xmlrpc_client": "GUI/remote-control surface (non-goal)",
-    "xmlrpc_server": "GUI/remote-control surface (non-goal)",
-}
+# Declared out of scope.  Empty as of round 3: TCP stream blocks live in
+# grtpu.io.tcp and the XML-RPC control surface in grtpu.io.xmlrpc_ctl.
+UNSUPPORTED_KEYS: dict = {}
+
+
+_GRC_DTYPES = {"complex": "complex64", "float": "float32", "int": "int32",
+               "short": "int16", "byte": "uint8"}
+
+
+def _tcp_factory(source: bool):
+    """blks2_tcp_source/sink (grc/blocks/blks2_tcp_*.xml): GRC passes
+    type/vlen/addr/port/server; vlen folds into the item count."""
+    def make(addr="localhost", port=9000, server=True, type="complex",
+             vlen=1, **_):
+        import numpy as np
+        from grtpu.io import tcp
+        dtype = np.dtype(_GRC_DTYPES.get(str(type), str(type)))
+        cls = tcp.TcpSource if source else tcp.TcpSink
+        return cls(str(addr), int(port), dtype=dtype,
+                   server=bool(server in (True, "True", "1", 1)))
+    return make
+
+
+def _xmlrpc_factory(server: bool):
+    """xmlrpc_server/client (grc/blocks/xmlrpc_*.xml).  The server wraps
+    the flowgraph once it exists: GRC-loaded graphs call .register(tb)."""
+    def make(addr="localhost", port=8080, **_):
+        from grtpu.io import xmlrpc_ctl
+        if server:
+            class _Deferred:
+                """Server bound at tb.start(): register(tb) then serve."""
+                def __init__(self):
+                    self.addr, self.port = str(addr), int(port)
+                    self.server = None
+
+                def register(self, instance, start=True):
+                    self.server = xmlrpc_ctl.XmlrpcServer(
+                        instance, self.addr, self.port, start=start)
+                    return self.server
+
+                def stop(self):
+                    if self.server is not None:
+                        self.server.stop()
+            return _Deferred()
+        return xmlrpc_ctl.XmlrpcClient(str(addr), int(port))
+    return make
 
 
 def _filter_design_factory(design, default_win):
@@ -259,6 +297,10 @@ def _populate():
     r("gr_udp_sink", udp.UdpSink)
     r("gr_message_source", msgio.MessageSource)
     r("gr_message_sink", msgio.MessageStreamSink)
+    r("blks2_tcp_source", _tcp_factory(source=True))
+    r("blks2_tcp_sink", _tcp_factory(source=False))
+    r("xmlrpc_server", _xmlrpc_factory(server=True))
+    r("xmlrpc_client", _xmlrpc_factory(server=False))
     # ---- models ----------------------------------------------------------
     r("blks2_wfm_rcv", fm.WfmRcv)
     r("blks2_wfm_rcv_pll", fm.WfmRcvPll)

@@ -204,7 +204,9 @@ class HrptDeframer(Block):
             count = jnp.where(hit, 6, jnp.where(emit1, 1, 0))
             return nc, (slot, count)
 
-        st, (slots, counts) = jax.lax.scan(step, state, x)
+        # tiny per-step body: iteration overhead dominates without unroll
+        # (same lesson as the M&M/Viterbi scans, CLAUDE.md perf notes)
+        st, (slots, counts) = jax.lax.scan(step, state, x, unroll=16)
         mask = (jnp.arange(6)[None, :] < counts[:, None]).reshape(-1)
         order = jnp.argsort(~mask, stable=True)
         y = slots.reshape(-1)[order].astype(jnp.int16)
@@ -229,9 +231,13 @@ class HrptDecoder(Block):
     def apply(self, state, x):
         return state, ()
 
+    # Spacecraft-address table (noaa_hrpt_decoder.cc:32-49 hrpt_ids)
+    HRPT_IDS = ("000000", "NOAA11", "000002", "NOAA16", "000004", "000005",
+                "000006", "NOAA15", "000008", "NOAA12", "000010", "NOAA17",
+                "000012", "NOAA18", "000014", "NOAA19")
+
     def report(self) -> dict:
-        names = {13: "NOAA15", 15: "NOAA16(sim)", 7: "NOAA15"}
-        out = dict(frames_seen=0, seq_errs=0, address=None,
+        out = dict(frames_seen=0, seq_errs=0, address=None, spacecraft=None,
                    day_of_year=None, milliseconds=None, mfnums=[])
         if self.captured is None:
             return out
@@ -247,6 +253,7 @@ class HrptDecoder(Block):
                 out["seq_errs"] += 1
             expected = mfnum % 3 + 1
             out["address"] = int((fr[6] & 0x078) >> 3)
+            out["spacecraft"] = self.HRPT_IDS[out["address"]]
             out["day_of_year"] = int(fr[8] >> 1)
             out["milliseconds"] = int(((fr[9] & 0x7F) << 20)
                                       | (fr[10] << 10) | fr[11])

@@ -151,6 +151,200 @@ def find_sync(bits: np.ndarray, sync: int = FLEX_SYNC_1600,
     return int(hits[0]) + 32
 
 
+# ------------------------------------------------------------ frame parse
+# Page vector types (pageri_flex_modes.h:43-54) and the numeric digit
+# alphabet (pageri_flex_modes.cc flex_bcd).
+FLEX_SECURE = 0
+FLEX_UNKNOWN = 1
+FLEX_TONE = 2
+FLEX_STANDARD_NUMERIC = 3
+FLEX_SPECIAL_NUMERIC = 4
+FLEX_ALPHANUMERIC = 5
+FLEX_BINARY = 6
+FLEX_NUMBERED_NUMERIC = 7
+
+FLEX_BCD = "0123456789 U -]["
+FLEX_PAGE_DESC = ["ENC", "UNK", "TON", "NUM", "SPN", "ALN", "BIN", "NNM"]
+
+_NUMERIC_TYPES = (FLEX_STANDARD_NUMERIC, FLEX_SPECIAL_NUMERIC,
+                  FLEX_NUMBERED_NUMERIC)
+_ALPHA_TYPES = (FLEX_ALPHANUMERIC, FLEX_SECURE)
+
+
+def parse_capcode(aw1: int, aw2: int = 0) -> Tuple[int, bool]:
+    """Address word(s) -> (capcode, is_long_address)
+    (pager_flex_parse.cc::parse_capcode)."""
+    laddr = aw1 < 0x008001 or aw1 > 0x1E0000
+    if laddr:
+        capcode = aw1 + ((aw2 ^ 0x1FFFFF) << 15) + 0x1F9000
+    else:
+        capcode = aw1 - 0x8000
+    return capcode, laddr
+
+
+def parse_numeric(words: List[int], page_type: int = FLEX_STANDARD_NUMERIC
+                  ) -> str:
+    """Numeric page payload -> digit string
+    (pager_flex_parse.cc::parse_numeric semantics).
+
+    Each 21-bit message word streams LSB-first through a 4-bit shift
+    register; a digit is emitted every 4 bits.  The first emission is
+    delayed past the message header: 2 bits for standard/special numeric,
+    12 bits (2 + the 10-bit message-number field) for numbered numeric.
+    Digit 0xC is fill and is skipped.
+    """
+    skip = 10 if page_type == FLEX_NUMBERED_NUMERIC else 2
+    out = []
+    digit = 0
+    count = 4 + skip
+    for w in words:
+        dw = int(w)
+        for _ in range(21):
+            digit = ((digit >> 1) | ((dw & 1) << 3)) & 0xF
+            dw >>= 1
+            count -= 1
+            if count == 0:
+                if digit != 0x0C:
+                    out.append(FLEX_BCD[digit])
+                count = 4
+    return "".join(out)
+
+
+def pack_numeric(msg: str, page_type: int = FLEX_STANDARD_NUMERIC,
+                 header: int = 0) -> List[int]:
+    """Inverse of :func:`parse_numeric` for test synthesis: digit string ->
+    21-bit message words (header bits first, digits 4 bits LSB-first,
+    fill-digit padded)."""
+    skip = 10 if page_type == FLEX_NUMBERED_NUMERIC else 2
+    bits = [(header >> k) & 1 for k in range(skip)]
+    for ch in msg:
+        d = FLEX_BCD.index(ch)
+        bits.extend(((d >> k) & 1 for k in range(4)))
+    nwords = -(-len(bits) // 21)
+    while len(bits) + 4 <= nwords * 21:
+        bits.extend(((0x0C >> k) & 1 for k in range(4)))  # fill digit
+    bits.extend([0] * (nwords * 21 - len(bits)))
+    words = []
+    for i in range(nwords):
+        w = 0
+        for k in range(21):
+            w |= bits[i * 21 + k] << k
+        words.append(w)
+    return words
+
+
+def parse_frame(datawords: List[int]) -> List[dict]:
+    """One FLEX frame (88 decoded 21-bit data words per phase) -> pages
+    (pager_flex_parse.cc::parse_data).
+
+    Word 0 is the block information word: vector-field start at bits 15-10,
+    address-field start at bits 9-8 (+1).  Each address word (pair, if
+    long) pairs with a vector information word giving the page type and the
+    message word span; the span is dispatched per type.  Returns a list of
+    ``{"capcode", "type", "desc", "content"}`` dicts.
+    """
+    dw = [int(w) for w in datawords]
+    biw = dw[0]
+    if biw in (0, 0x1FFFFF):
+        return []
+    voffset = (biw >> 10) & 0x3F
+    aoffset = ((biw >> 8) & 0x03) + 1
+    pages = []
+    i = aoffset
+    while i < voffset:
+        j = voffset + i - aoffset
+        if dw[i] in (0, 0x1FFFFF):  # idle codeword
+            i += 1
+            continue
+        capcode, laddr = parse_capcode(dw[i], dw[i + 1])
+        if laddr:
+            i += 1
+        if capcode < 0:
+            i += 1
+            continue
+        viw = dw[j]
+        ptype = (viw >> 4) & 0x7
+        mw1 = (viw >> 7) & 0x7F
+        length = (viw >> 14) & 0x7F
+        if ptype in _NUMERIC_TYPES:
+            length &= 0x07
+        mw2 = mw1 + length
+        if mw1 == 0 and mw2 == 0:
+            i += 1
+            continue
+        if ptype == FLEX_TONE:
+            mw1 = mw2 = 0
+        if mw1 > 87 or mw2 > 87:
+            i += 1
+            continue
+        content = ""
+        if ptype in _ALPHA_TYPES:
+            content = _parse_alpha_span(dw, mw1, mw2 - 1, j, laddr)
+        elif ptype in _NUMERIC_TYPES:
+            # message words: first from the span (short address) or the
+            # second vector word (long address), then the rest of the span
+            if laddr:
+                span = [dw[j + 1]] + dw[mw1:mw2]
+            else:
+                span = dw[mw1:mw2 + 1]
+            content = parse_numeric(span, ptype)
+        pages.append({"capcode": capcode, "type": ptype,
+                      "desc": FLEX_PAGE_DESC[ptype], "content": content})
+        i += 1
+    return pages
+
+
+def _parse_alpha_span(dw: List[int], mw1: int, mw2: int, j: int,
+                      laddr: bool) -> str:
+    """Alphanumeric span -> text (pager_flex_parse.cc::parse_alphanumeric:
+    fragment header in the first message word — or the second vector word
+    for long addresses — and 0x03 is fill)."""
+    if not laddr:
+        frag = (dw[mw1] >> 11) & 0x03
+        mw1 += 1
+    else:
+        frag = (dw[j + 1] >> 11) & 0x03
+        mw2 -= 1
+    chars = []
+    for i in range(mw1, mw2 + 1):
+        w = dw[i]
+        if i > mw1 or frag != 0x03:
+            c = w & 0x7F
+            if c != 0x03:
+                chars.append(chr(c))
+        for sh in (7, 14):
+            c = (w >> sh) & 0x7F
+            if c != 0x03:
+                chars.append(chr(c))
+    return "".join(chars)
+
+
+class FlexParse:
+    """pager_flex_parse block surface: feed decoded data words; every 88
+    accumulated words is parsed as one frame and its pages appended to
+    :attr:`pages` (pager_flex_parse.cc::work)."""
+
+    FRAME_WORDS = 88
+
+    def __init__(self, freq: float = 0.0):
+        self.freq = freq
+        self._buf: List[int] = []
+        self.pages: List[dict] = []
+
+    def feed(self, words) -> List[dict]:
+        """Accepts any iterable of ints; returns pages newly completed."""
+        new: List[dict] = []
+        for w in np.asarray(words, np.int64).ravel():
+            self._buf.append(int(w))
+            if len(self._buf) == self.FRAME_WORDS:
+                for p in parse_frame(self._buf):
+                    p["freq"] = self.freq
+                    new.append(p)
+                self._buf.clear()
+        self.pages.extend(new)
+        return new
+
+
 def parse_alpha(words: List[int]) -> str:
     """Alphanumeric vector payload: 7-bit chars packed 3 per 21-bit word
     (pager_flex_parse alpha handling)."""

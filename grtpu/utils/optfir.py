@@ -5,8 +5,9 @@ Analog of gnuradio-core/src/python/gnuradio/optfir.py and gr_remez
 band pass, with the reference's automatic order estimate (Herrmann/Rabiner)
 and passband/stopband ripple specified in linear/dB terms.
 
-Uses scipy.signal.remez as the exchange-algorithm engine (the reference
-embeds its own remez.cc; the algorithm is identical).
+The exchange-algorithm engine is grtpu.utils.remez_engine — a
+self-contained Parks-McClellan implementation (no scipy on the tap-design
+path), verified against scipy.signal.remez in tests.
 """
 
 from __future__ import annotations
@@ -15,13 +16,15 @@ import math
 
 import numpy as np
 
+from grtpu.utils.remez_engine import design as _remez_design
+from grtpu.utils.remez_engine import pm_remez  # noqa: F401  (gr.remez API)
+
 
 def remez(numtaps, bands, desired, weight=None, fs=1.0):
-    """gr_remez-flavored wrapper over scipy.signal.remez."""
-    import scipy.signal as sig
-
-    return sig.remez(numtaps, bands, desired, weight=weight, fs=fs).astype(
-        np.float32)
+    """scipy-flavored surface over the own Parks-McClellan engine:
+    one desired amplitude per band, band edges in Hz at fs."""
+    b = np.asarray(bands, np.float64) / fs
+    return _remez_design(numtaps, b, desired, weight).astype(np.float32)
 
 
 # ------------------------- order estimate (optfir.remezord equivalents) ----

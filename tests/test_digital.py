@@ -331,6 +331,30 @@ class TestGenericModem:
                            settle=300)
         assert ber < 0.02, ber
 
+    @pytest.mark.parametrize("sps", [5.3, 2.5])
+    def test_generic_qpsk_fractional_sps(self, sps):
+        """Fractional samples/symbol — the reference default contract
+        (generic_mod_demod.py:94, float sps >= 2): RRC shaping runs as a
+        pfb_arb_resampler and clock sync on the fractional floor grid,
+        with BER unchanged vs the integer-sps chain."""
+        from grtpu.digital.generic_mod_demod import GenericModem
+
+        gm = GenericModem(m=4, samples_per_symbol=sps)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = gm.modulate(bits)
+        ber, _ = _best_ber(bits, gm.demodulate(tx), settle=300)
+        assert ber < 0.01, ber
+
+    def test_generic_qpsk_fractional_sps_noise(self):
+        from grtpu.digital.generic_mod_demod import GenericModem
+
+        gm = GenericModem(m=4, samples_per_symbol=5.3)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = np.asarray(gm.modulate(bits))
+        ber, _ = _best_ber(bits, gm.demodulate(awgn(tx, 12.0, seed=3)),
+                           settle=300)
+        assert ber < 0.02, ber
+
 
 class TestWindowedClockRecovery:
     """The gather-free fixed-rate M&M must be bit-exact vs the
@@ -380,6 +404,75 @@ class TestWindowedClockRecovery:
         n = min(len(ref), len(got))
         assert n > 1000
         assert np.abs(ref[:n] - got[:n]).max() == 0.0
+
+    @pytest.mark.parametrize("complex_mode", [False, True])
+    def test_bit_exact_vs_loop_fractional_sps(self, complex_mode):
+        """Fractional samples/symbol (float omega is the reference
+        contract, digital_clock_recovery_mm_cc.cc:160-217): the windowed
+        form rides the floor grid of the rationalized clock and stays
+        bit-exact vs the dynamic-slice loop."""
+        from grtpu.digital import loops
+        sps, nsym = 5.3, 1200
+        base = self._signal(nsym, 6, complex_mode, seed=11)
+        # resample the 6-sps signal onto a 5.3-sps clock
+        t = np.arange(0, len(base) - 2, 6 / sps)
+        fr = (t % 1).astype(base.dtype)
+        x = ((1 - fr) * base[t.astype(int)] + fr * base[t.astype(int) + 1]
+             ).astype(base.dtype)
+        gm, go = 0.175, 0.25 * 0.175 ** 2
+        st = loops.mm_init_state(sps, 0.5, complex_mode=complex_mode)
+        fn = (loops.clock_recovery_mm_cc if complex_mode
+              else loops.clock_recovery_mm_ff)
+        ys, nv, _ = fn(jnp.asarray(x), st, sps, go, gm, 0.005)
+        ref = np.asarray(ys)[:int(nv)]
+
+        W = 48
+        xw = np.concatenate([np.zeros(W, x.dtype), x,
+                             np.zeros(2 * W, x.dtype)])
+        stw = loops.mm_windowed_init_state(sps, 0.5,
+                                           complex_mode=complex_mode)
+        fnw = (loops.clock_recovery_mm_cc_windowed if complex_mode
+               else loops.clock_recovery_mm_ff_windowed)
+        got, _ = fnw(jnp.asarray(xw), stw, sps, go, gm, 0.005, W=W)
+        got = np.asarray(got)
+        n = min(len(ref), len(got))
+        assert n > 1000
+        assert np.abs(ref[:n] - got[:n]).max() == 0.0
+
+    def test_chunked_equals_whole_fractional_sps(self):
+        """Chunked == whole at fractional sps: chunks advance by whole
+        grid periods (symbols per chunk divisible by the rationalized
+        denominator), so the floor grid tiles exactly."""
+        from grtpu.digital import loops
+        sps, nsym, W = 2.5, 1200, 32
+        P, Q = loops.rationalize_sps(sps)
+        base = self._signal(nsym, 3, False, seed=4)
+        t = np.arange(0, len(base) - 2, 3 / sps)
+        fr = (t % 1).astype(np.float32)
+        x = ((1 - fr) * base[t.astype(int)] + fr * base[t.astype(int) + 1]
+             ).astype(np.float32)
+        xw = np.concatenate([np.zeros(W, np.float32), x])
+        go, gm = 0.25 * 0.175 ** 2, 0.175
+        st = loops.mm_windowed_init_state(sps, 0.5)
+        whole, _ = loops.clock_recovery_mm_ff_windowed(
+            jnp.asarray(xw), st, sps, go, gm, W=W)
+        L = -(-P // Q) + 2 * W + loops.NTAPS
+        st = loops.mm_windowed_init_state(sps, 0.5)
+        parts = []
+        Tc = 200
+        assert Tc % Q == 0
+        adv = Tc * P // Q                     # samples per chunk, exact
+        pos = 0
+        while pos + adv + L <= len(xw):
+            seg = xw[pos: pos + adv + L]
+            ys, st = loops.clock_recovery_mm_ff_windowed(
+                jnp.asarray(seg), st, sps, go, gm, W=W)
+            parts.append(np.asarray(ys)[:Tc])
+            pos += adv
+        got = np.concatenate(parts)
+        n = min(len(got), len(np.asarray(whole)))
+        assert n > 800
+        assert np.abs(np.asarray(whole)[:n] - got[:n]).max() == 0.0
 
     def test_chunked_equals_whole(self):
         from grtpu.digital import loops

@@ -71,6 +71,130 @@ class TestUdp:
         np.testing.assert_array_equal(got, x)
 
 
+class TestTcp:
+    def test_loopback(self):
+        """TCP server-source / client-sink loopback with exact item
+        reassembly (blks2 tcp_source/tcp_sink semantics)."""
+        from grtpu.io.tcp import TcpSink, TcpSource
+
+        results = {}
+
+        def serve():
+            src = TcpSource("127.0.0.1", port, np.complex64, server=True,
+                            timeout=5.0)
+            results["got"] = src.read_items(3000)
+            src.close()
+
+        import socket as _socket
+        probe = _socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        t = threading.Thread(target=serve)
+        t.start()
+        x = (RNG.randn(3000) + 1j * RNG.randn(3000)).astype(np.complex64)
+        deadline = 5.0
+        import time as _time
+        snk = None
+        t0 = _time.monotonic()
+        while snk is None and _time.monotonic() - t0 < deadline:
+            try:
+                snk = TcpSink("127.0.0.1", port, np.complex64, server=False)
+            except OSError:
+                _time.sleep(0.05)
+        # stream in uneven pieces to exercise byte reassembly
+        snk.write_items(x[:700])
+        snk.write_items(x[700:1701])
+        snk.write_items(x[1701:])
+        snk.close()
+        t.join(timeout=10.0)
+        assert results["got"] is not None
+        np.testing.assert_array_equal(results["got"], x)
+
+    def test_eof_on_peer_close(self):
+        from grtpu.io.tcp import TcpSink, TcpSource
+
+        import socket as _socket
+        probe = _socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        results = {}
+
+        def serve():
+            src = TcpSource("127.0.0.1", port, np.float32, server=True,
+                            timeout=5.0)
+            results["short"] = src.read_items(100)  # only 10 arrive
+            src.close()
+
+        t = threading.Thread(target=serve)
+        t.start()
+        import time as _time
+        snk = None
+        t0 = _time.monotonic()
+        while snk is None and _time.monotonic() - t0 < 5.0:
+            try:
+                snk = TcpSink("127.0.0.1", port, np.float32)
+            except OSError:
+                _time.sleep(0.05)
+        snk.write_items(np.arange(10, dtype=np.float32))
+        snk.close()
+        t.join(timeout=10.0)
+        assert results["short"] is None  # EOF before 100 items
+
+
+class TestXmlrpc:
+    def test_remote_variable_control(self):
+        """xmlrpc_server/client blocks: remote set_* callbacks reach the
+        wrapped instance (grc/blocks/xmlrpc_server.xml contract)."""
+        from grtpu.io.xmlrpc_ctl import XmlrpcClient, XmlrpcServer
+
+        class FakeTopBlock:
+            def __init__(self):
+                self.freq = 0.0
+                self.started = False
+
+            def set_freq(self, f):
+                self.freq = f
+
+            def get_freq(self):
+                return self.freq
+
+            def start(self):
+                self.started = True
+
+            def _private(self):  # must not be exported
+                raise AssertionError
+
+        tb = FakeTopBlock()
+        srv = XmlrpcServer(tb, "127.0.0.1", 0)
+        try:
+            cli = XmlrpcClient("127.0.0.1", srv.port)
+            cli.callback("set_freq", 5000.0)   # the GRC client pattern
+            assert tb.freq == 5000.0
+            assert cli.get_freq() == 5000.0    # plain proxy access
+            cli.start()
+            assert tb.started
+            import xmlrpc.client
+            with pytest.raises(xmlrpc.client.Fault):
+                cli.callback("_private")
+        finally:
+            srv.stop()
+
+    def test_registry_factories(self):
+        from grtpu.grc.registry import BLOCK_REGISTRY, UNSUPPORTED_KEYS
+        assert not UNSUPPORTED_KEYS
+        for k in ("blks2_tcp_source", "blks2_tcp_sink",
+                  "xmlrpc_server", "xmlrpc_client"):
+            assert k in BLOCK_REGISTRY
+        # xmlrpc factories construct without sockets needing a peer
+        deferred = BLOCK_REGISTRY["xmlrpc_server"](addr="127.0.0.1",
+                                                   port=18080)
+        assert hasattr(deferred, "register")
+        cli = BLOCK_REGISTRY["xmlrpc_client"](addr="127.0.0.1", port=18080)
+        assert hasattr(cli, "callback")
+
+
 class TestMsgIO:
     def test_message_source_fill(self):
         q = MsgQueue()

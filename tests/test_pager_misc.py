@@ -83,6 +83,155 @@ class TestFlexFrame:
         np.testing.assert_array_equal(sink.data(), [0b10, 0b11, 0b01, 0b00])
 
 
+class TestFlexFrameParse:
+    """Frame-level parse: capcodes, vector dispatch, numeric pages
+    (pager_flex_parse.cc::parse_data/parse_numeric semantics)."""
+
+    @staticmethod
+    def _frame(entries):
+        """entries: list of (addr_words, viw, msg_placement) where
+        msg_placement maps index -> word.  Builds an 88-word frame."""
+        dw = [0x1FFFFF] * 88
+        naddr = sum(len(a) for a, _, _ in entries)
+        aoffset, voffset = 1, 1 + naddr
+        dw[0] = (voffset << 10) | ((aoffset - 1) << 8)
+        ai, vi = aoffset, voffset
+        for addr_words, viw, placement in entries:
+            for k, w in enumerate(addr_words):
+                dw[ai + k] = w
+            dw[vi] = viw
+            vi += 1
+            ai += len(addr_words)
+            for idx, w in placement.items():
+                dw[idx] = w
+        return dw
+
+    def test_numeric_pack_parse_roundtrip(self):
+        for msg in ["911", "555-1212", "0123456789 U-]["]:
+            words = pager.pack_numeric(msg)
+            assert pager.parse_numeric(words) == msg
+
+    def test_numbered_numeric_skips_header(self):
+        msg = "42 1999"
+        words = pager.pack_numeric(msg, pager.FLEX_NUMBERED_NUMERIC,
+                                   header=0x2AA)
+        assert pager.parse_numeric(
+            words, pager.FLEX_NUMBERED_NUMERIC) == msg
+        # parsing as standard numeric would misread the header as digits
+        assert pager.parse_numeric(words) != msg
+
+    def test_frame_numeric_short_address(self):
+        msg = "555-0199"
+        mwords = pager.pack_numeric(msg)
+        assert len(mwords) <= 7
+        mw1, mw2 = 3, 3 + len(mwords) - 1
+        viw = ((mw2 - mw1) << 14) | (mw1 << 7) | \
+            (pager.FLEX_STANDARD_NUMERIC << 4)
+        capcode = 12345
+        frame = self._frame([
+            ([capcode + 0x8000], viw,
+             {mw1 + k: w for k, w in enumerate(mwords)}),
+        ])
+        pages = pager.parse_frame(frame)
+        assert len(pages) == 1
+        assert pages[0]["capcode"] == capcode
+        assert pages[0]["desc"] == "NUM"
+        assert pages[0]["content"] == msg
+
+    def test_frame_numeric_long_address(self):
+        msg = "8675309"
+        mwords = pager.pack_numeric(msg)
+        assert len(mwords) == 2
+        # long address pair at 1-2, vectors at 3-4: viw at 3, first
+        # message word rides the second vector word (j+1 == 4)
+        aw1, aw2 = 0x001000, 0x154321
+        mw1 = 5
+        viw = (1 << 14) | (mw1 << 7) | (pager.FLEX_STANDARD_NUMERIC << 4)
+        dw = [0x1FFFFF] * 88
+        dw[0] = (3 << 10) | (0 << 8)  # voffset=3, aoffset=1
+        dw[1], dw[2] = aw1, aw2
+        dw[3] = viw
+        dw[4] = mwords[0]
+        dw[5] = mwords[1]
+        pages = pager.parse_frame(dw)
+        assert len(pages) == 1
+        expect_cc = aw1 + ((aw2 ^ 0x1FFFFF) << 15) + 0x1F9000
+        assert pages[0]["capcode"] == expect_cc
+        assert pages[0]["content"] == msg
+
+    def test_frame_alpha_and_tone(self):
+        msg = "HELLO"
+        awords = [0] + pager.pack_alpha(msg)  # frag=0 header word first
+        mw1 = 4
+        # alpha vector length counts words: span is mw1 .. mw1+len-1
+        viw_a = (len(awords) << 14) | (mw1 << 7) | \
+            (pager.FLEX_ALPHANUMERIC << 4)
+        viw_t = (1 << 7) | (pager.FLEX_TONE << 4)
+        frame = self._frame([
+            ([0x9000], viw_a, {mw1 + k: w for k, w in enumerate(awords)}),
+            ([0xA000], viw_t, {}),
+        ])
+        pages = pager.parse_frame(frame)
+        assert len(pages) == 2
+        assert pages[0]["desc"] == "ALN"
+        assert pages[0]["content"].rstrip("\x00") == msg
+        assert pages[1]["desc"] == "TON"
+        assert pages[1]["content"] == ""
+
+    def test_flex_parse_block_surface(self):
+        msg = "311"
+        mwords = pager.pack_numeric(msg)
+        mw1 = 3
+        viw = ((len(mwords) - 1) << 14) | (mw1 << 7) | \
+            (pager.FLEX_STANDARD_NUMERIC << 4)
+        frame = self._frame([
+            ([0x8123], viw, {mw1 + k: w for k, w in enumerate(mwords)}),
+        ])
+        fp = pager.FlexParse(freq=929.6625e6)
+        # split across two feeds to exercise the 88-word accumulator
+        assert fp.feed(frame[:50]) == []
+        new = fp.feed(frame[50:])
+        assert len(new) == 1 and new[0]["content"] == msg
+        assert new[0]["freq"] == 929.6625e6
+
+    def test_numeric_page_over_fm(self):
+        """End-to-end: numeric page -> FLEX words -> BCH -> interleave ->
+        bits -> 4FSK baseband -> slicer -> sync -> decode -> parse."""
+        msg = "555-8712"
+        mwords = pager.pack_numeric(msg)
+        mw1 = 3
+        viw = ((len(mwords) - 1) << 14) | (mw1 << 7) | \
+            (pager.FLEX_STANDARD_NUMERIC << 4)
+        frame = self._frame([
+            ([20000 + 0x8000], viw,
+             {mw1 + k: w for k, w in enumerate(mwords)}),
+        ])
+        # first 8 words of the frame carry the page here; encode one block
+        coded = np.array([pager.flex_encode_word(w) for w in frame[:8]],
+                         np.uint64)
+        bits = np.concatenate([
+            np.array([(pager.FLEX_SYNC_1600 >> (31 - i)) & 1
+                      for i in range(32)], np.uint8),
+            pager.flex_interleave(coded),
+        ])
+        # 2-level FSK baseband carrying one bit per symbol (hi/lo dibit MSB)
+        bb = (bits.astype(np.float32) * 2 - 1)
+        slicer = pager.PagerSlicer()
+        _, sym = slicer.apply(slicer.init_state(), jnp.asarray(bb))
+        rx_bits = (np.asarray(sym) >> 1).astype(np.uint8)
+        start = pager.find_sync(rx_bits)
+        assert start == 32
+        words = pager.flex_deinterleave(rx_bits[start:start + 256])
+        infos = []
+        for w in words:
+            info, nerr = pager.flex_decode_word(int(w))
+            assert info is not None
+            infos.append(info)
+        frame_rx = infos + frame[8:]
+        pages = pager.parse_frame(frame_rx)
+        assert len(pages) == 1 and pages[0]["content"] == msg
+
+
 class TestMiscBlocks:
     def test_nlog10(self):
         from grtpu.blocks.misc import NLog10

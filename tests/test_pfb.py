@@ -288,6 +288,49 @@ class TestWindowedPfbClockSync:
         assert np.abs(ref[:n] - got[:n]).max() < 1e-5
 
 
+class TestWindowedPfbClockSyncFractional:
+    def test_matches_loop_fractional_sps(self):
+        """Fractional sps (the reference float contract,
+        gr_pfb_clock_sync_ccf.cc): windowed rows on the floor grid track
+        the exact loop's float pointer, base_t = t*sps + integer slips."""
+        import jax.numpy as jnp
+        from grtpu.blocks.pfb import (
+            pfb_clock_sync, pfb_clock_sync_init, pfb_clock_sync_windowed,
+            pfb_clock_sync_windowed_init)
+        from grtpu.utils import firdes
+        rng = np.random.default_rng(1)
+        sps, nfilts, nsym = 4.25, 32, 800
+        taps = firdes.root_raised_cosine(nfilts, nfilts * sps, 1.0, 0.35,
+                                         int(11 * sps) * nfilts)
+        syms = ((rng.integers(0, 2, nsym) * 2 - 1)
+                + 1j * (rng.integers(0, 2, nsym) * 2 - 1)) / np.sqrt(2)
+        gen_sps = 5
+        up = np.zeros(nsym * gen_sps, np.complex128)
+        up[::gen_sps] = syms
+        h = firdes.root_raised_cosine(1.0, gen_sps, 1.0, 0.35, 11 * gen_sps)
+        x0 = np.convolve(up, h, "same")
+        t = np.arange(0, len(x0) - 2, gen_sps / sps)
+        fr = t % 1
+        x = ((1 - fr) * x0[t.astype(int)] + fr * x0[t.astype(int) + 1]
+             ).astype(np.complex64)
+
+        st = pfb_clock_sync_init(nfilts)
+        ys, nv, _ = pfb_clock_sync(jnp.asarray(x), st, sps, taps,
+                                   nfilts, 0.06)
+        ref = np.asarray(ys)[:int(nv)]
+
+        W = 32
+        xw = np.concatenate([np.zeros(W, np.complex64), x,
+                             np.zeros(2 * W, np.complex64)])
+        stw = pfb_clock_sync_windowed_init(nfilts)
+        got, _ = pfb_clock_sync_windowed(jnp.asarray(xw), stw, sps, taps,
+                                         nfilts, 0.06, W=W)
+        got = np.asarray(got)
+        n = min(len(ref), len(got))
+        assert n > 600
+        assert np.abs(ref[:n] - got[:n]).max() < 1e-5
+
+
 class TestChannelizerPrecisionModes:
     def test_bf16x3_matches_f32(self):
         """Split-word channelizer == exact channelizer within ~1e-5."""
