@@ -606,3 +606,31 @@ class TestPallasDecimComplex:
                 pf.fir_decim_c = orig_c
         ref = np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(taps), d))
         assert np.abs(np.asarray(got) - ref).max() / np.abs(ref).max() < 1e-5
+
+
+class TestPallasBf16Resident:
+    """bf16-resident streams: the single-stage bf16 fast path accepts a
+    bfloat16 input whose DMA lands straight into a bf16 slot — must be the
+    EXACT same function as the f32-input bf16 path (whose first act is
+    rounding the slot to bf16)."""
+
+    def test_bit_identical_to_f32_input(self):
+        from grtpu.ops.pallas_fir import fir_cascade
+        taps = (RNG.randn(515) * 0.05).astype(np.float32)
+        x = RNG.randn(2, 4096).astype(np.float32)
+        y32 = fir_cascade(jnp.asarray(x), taps, 1, tile_rows=256,
+                          precision="bf16", interpret=True)
+        y16 = fir_cascade(jnp.asarray(x).astype(jnp.bfloat16), taps, 1,
+                          tile_rows=256, precision="bf16", interpret=True)
+        assert np.abs(np.asarray(y32) - np.asarray(y16)).max() == 0.0
+        assert np.asarray(y16).dtype == np.float32
+
+    def test_guards(self):
+        from grtpu.ops.pallas_fir import fir_cascade
+        taps = (RNG.randn(65) * 0.05).astype(np.float32)
+        x16 = jnp.asarray(RNG.randn(1, 512).astype(np.float32)
+                          ).astype(jnp.bfloat16)
+        with pytest.raises(ValueError):
+            fir_cascade(x16, taps, 1, precision="bf16x3", interpret=True)
+        with pytest.raises(ValueError):
+            fir_cascade(x16, taps, 2, precision="bf16", interpret=True)
