@@ -28,6 +28,7 @@ BENCHES = [
     "dmr_bench.py",
     "mm_bench.py",
     "resampler_bench.py",
+    "ofdm_bench.py",
     "trellis_bench.py",
 ]
 

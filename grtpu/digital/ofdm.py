@@ -230,13 +230,23 @@ def ofdm_sync_pn(x: jnp.ndarray, fft_len: int):
     radians/sample = angle(P[peak]) / (L/2)."""
     h = fft_len // 2
     prod = x[h:] * jnp.conj(x[:-h])
-    pw = jnp.abs(x[h:]) ** 2
+    pw = jnp.abs(x) ** 2
     cs = jnp.concatenate([jnp.zeros(1, prod.dtype), jnp.cumsum(prod)])
     P = cs[h:] - cs[:-h]
     ce = jnp.concatenate([jnp.zeros(1, pw.dtype), jnp.cumsum(pw)])
-    R = jnp.real(ce[h:] - ce[:-h])
-    gate = R > 0.1 * jnp.max(R)
-    m = jnp.where(gate, (jnp.abs(P) ** 2) / jnp.maximum(R ** 2, 1e-12), 0.0)
+    R2 = jnp.real(ce[2 * h:] - ce[h:-h])          # second-half energy
+    R1 = jnp.real(ce[h:-h] - ce[:-2 * h])         # first-half energy
+    n = min(P.shape[0], R2.shape[0])
+    P, R1, R2 = P[:n], R1[:n], R2[:n]
+    # SYMMETRIC normalization: |P| <= sqrt(R1*R2) <= (R1+R2)/2, so the
+    # metric is bounded by 1 everywhere.  The reference's |P|^2/R2^2
+    # (second-half energy only) blows up at a signal->silence trailing
+    # edge (R2 -> 0 while R1 stays large: bound R1/R2 unbounded), firing
+    # false frame syncs on burst tails in streaming use.
+    Rs = 0.5 * (R1 + R2)
+    gate = Rs > 0.1 * jnp.max(Rs)
+    m = jnp.where(gate, (jnp.abs(P) ** 2) / jnp.maximum(Rs ** 2, 1e-12),
+                  0.0)
     return m, P
 
 
@@ -324,11 +334,13 @@ class OfdmReceiver(Block):
     after a full frame the receiver re-acquires (burst/TDMA semantics,
     matching the benchmark_ofdm framing).
 
-    Sizing rule: acquisition runs once per chunk, so pick
-    ``chunk_size <= frame_span + min_gap`` (frame_span =
-    (nsym_data+2)*(fft+cp)) to guarantee at most one new frame start per
-    chunk — otherwise a preamble arriving in the same chunk right after a
-    completed frame is only seen if it falls within the history window.
+    Acquisition runs inside the per-symbol scan, so any number of frames
+    can start (and complete) within one chunk at any chunk size — a frame
+    completing mid-chunk hands straight to the next preamble.  The one
+    remaining boundary case: a preamble must be fully readable in some
+    chunk's window; the history (3 symbols + fft) covers preambles up to
+    ~3 symbols behind the fresh region, which a frame with more deferred
+    symbols than that could outrun.
     """
 
     variable_rate = True
@@ -412,47 +424,48 @@ class OfdmReceiver(Block):
 
         st = dict(state)
 
-        def try_acquire(st):
-            met, cfo_of, off = self._metric(x)
-            # search only where a full (sync+known) preamble fits
-            lim = n - (2 * sym_len + m.fft_len)
-            idx = jnp.arange(met.shape[0])
-            met = jnp.where(idx < lim, met, 0.0)
-            mx = jnp.max(met)
-            # S&C plateau start: first index within 90% of the peak
-            d = jnp.argmax(met > 0.9 * mx).astype(jnp.int32) + off
-            d_pk = jnp.argmax(met).astype(jnp.int32)
-            found = (mx > self.thresh) & (d > st["anchor"] - sym_len)
+        # metric once per chunk; acquisition happens INSIDE the per-symbol
+        # scan so a frame completing mid-chunk can hand straight to the
+        # next preamble (any number of frames per chunk — the round-2
+        # chunk-sizing rule is gone)
+        met_all, cfo_of, _off = self._metric(x)
+        lim = n - (2 * sym_len + m.fft_len)
+        met_idx = jnp.arange(met_all.shape[0])
+        met_all = jnp.where(met_idx < lim, met_all, 0.0)
+        pts = jnp.asarray(m.qpsk)
+
+        def acquire(c):
+            # plateau search restricted to ground not yet consumed
+            allowed = jnp.where(met_idx > c["anchor"] - sym_len,
+                                met_all, 0.0)
+            mx = jnp.max(allowed)
+            d = jnp.argmax(allowed > 0.9 * mx).astype(jnp.int32)
+            d_pk = jnp.argmax(allowed).astype(jnp.int32)
+            found = ~c["have"] & (mx > self.thresh)
             cfo = cfo_of(d_pk)
             xr_known = jax.lax.dynamic_slice_in_dim(
-                x, d + sym_len + m.cp_len - m.cp_len // 2, m.fft_len)
+                x, jnp.clip(d + sym_len + m.cp_len - m.cp_len // 2,
+                            0, n - m.fft_len), m.fft_len)
             ramp = jnp.exp(-1j * cfo * (
                 d + sym_len + jnp.arange(m.fft_len, dtype=jnp.float32)))
             F = jnp.fft.fft(xr_known * ramp)
             chan = F[bins] / known
-            new = {
-                "have": st["have"] | found,
+            return {
+                "have": c["have"] | found,
                 "anchor": jnp.where(
                     found, d + 2 * sym_len + m.cp_len - m.cp_len // 2,
-                    st["anchor"]),
-                "cfo": jnp.where(found, cfo, st["cfo"]),
-                "base": st["base"],
-                "chan": jnp.where(found, chan, st["chan"]),
-                "phase": jnp.where(found, 0.0, st["phase"]),
+                    c["anchor"]),
+                "cfo": jnp.where(found, cfo, c["cfo"]),
+                "base": c["base"],
+                "chan": jnp.where(found, chan, c["chan"]),
+                "phase": jnp.where(found, 0.0, c["phase"]),
                 "sym_left": jnp.where(found, self.nsym_data,
-                                      st["sym_left"]),
-                "cfo_phase": jnp.where(found, 0.0, st["cfo_phase"]),
+                                      c["sym_left"]),
+                "cfo_phase": jnp.where(found, 0.0, c["cfo_phase"]),
             }
-            return new, found
-
-        st, newly = jax.lax.cond(
-            ~state["have"], try_acquire,
-            lambda s: (dict(s), jnp.zeros((), jnp.bool_)), st)
-
-        pts = jnp.asarray(m.qpsk)
 
         def emit(carry, i):
-            c = carry
+            c = acquire(carry)
             ok = c["have"] & (c["anchor"] + m.fft_len <= n) & \
                 (c["sym_left"] > 0)
             a = jnp.clip(c["anchor"], 0, n - m.fft_len)
