@@ -375,10 +375,20 @@ def _window_rows(x: jnp.ndarray, sps: float, W: int, width: int):
     L = dmax + 2 * W + width
     offs = [(r * P) // Q for r in range(Q)]
     Tq = (x.shape[0] - L - offs[-1]) // P + 1
-    groups = [
-        jnp.stack([x[c + k: c + k + (Tq - 1) * P + 1: P] for k in range(L)],
-                  axis=1)
-        for c in offs]
+    # block-reshape construction: rows[t, j*P+m] = x[c + (t+j)*P + m], so
+    # ceil(L/P)+1 slices per residue instead of L (40x fewer trace ops at
+    # L~78 — compile time, not runtime, was the cost)
+    nblk = -(-L // P)
+    need = (Tq - 1 + nblk) * P
+
+    def rows_for(c):
+        y = x[c: c + need]
+        y = jnp.pad(y, (0, need - y.shape[0]))
+        blocks = [y[j * P: (j + Tq) * P].reshape(Tq, P)
+                  for j in range(nblk)]
+        return jnp.concatenate(blocks, axis=1)[:, :L]
+
+    groups = [rows_for(c) for c in offs]
     rows = (groups[0] if Q == 1
             else jnp.stack(groups, axis=1).reshape(Q * Tq, L))
     T = Q * Tq
