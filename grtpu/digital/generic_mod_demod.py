@@ -108,7 +108,10 @@ class GenericModem:
         xh = jnp.pad(cpx, (kp - 1, pad_syms))
         # self.rrc already carries gain nfilts — the bank normalization
         # the polyphase split divides back out (reference design)
-        return pfb_ops.arb_resample(xh, self.rrc, rate, self.nfilts)
+        y = pfb_ops.arb_resample(xh, self.rrc, rate, self.nfilts)
+        # emit exactly floor(n*sps) samples, like the reference resampler's
+        # accumulator — the Q-alignment pad symbols are an internal detail
+        return y[: (cpx.shape[0] * self._spsP) // self._spsQ]
 
     # --------------------------------------------------------------- demod
     def demodulate(self, x) -> np.ndarray:

@@ -253,6 +253,11 @@ def parse_frame(datawords: List[int]) -> List[dict]:
     i = aoffset
     while i < voffset:
         j = voffset + i - aoffset
+        # a noise-corrupted BIW can claim vector offsets past the frame;
+        # the reference reads in-bounds garbage and emits nothing useful —
+        # here out-of-range entries are skipped explicitly
+        if j + 1 >= len(dw) or i + 1 >= len(dw):
+            break
         if dw[i] in (0, 0x1FFFFF):  # idle codeword
             i += 1
             continue

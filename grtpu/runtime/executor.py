@@ -144,7 +144,8 @@ class StreamExecutor:
         else:
             raise ValueError("could not balance source rates")
         self._init_state()
-        self._build_step(donate and not debug_taps)
+        self._donate = donate and not debug_taps
+        self._build_step(self._donate)
         # host-side stream-tag store per edge key, and absolute item counters
         self._tags: Dict[str, List[Tag]] = {k: [] for k in self._edge_keys}
         self.sink_tags: Dict[str, List[Tag]] = {}
@@ -787,7 +788,11 @@ class StreamExecutor:
                     }
                 return state, (pads_stk, caps_stk)
 
-            scan_jit = jax.jit(scan_all, donate_argnums=(0,))
+            # honor the executor's donate setting: a donate=False executor
+            # may have handed out self.state (step_fn embedding surface) —
+            # donating it here would delete buffers the caller still holds
+            scan_jit = jax.jit(
+                scan_all, donate_argnums=(0,) if self._donate else ())
             self._scan_cache[nchunks] = scan_jit
         self.state, (pads_stk, caps_stk) = scan_jit(self.state, tuple(xs))
         self._bump_counters(nchunks)
@@ -871,10 +876,14 @@ class StreamExecutor:
     def _compact_emissions(self, owner: Block, parts, counts_accum):
         """parts: per-chunk (rows, items, ...) emission buffers; keep each
         chunk's valid rows (that chunk's emission count for the owning VR
-        block's segment) and flatten emissions into a contiguous stream."""
+        block's segment) and flatten emissions into a contiguous stream.
+
+        Readback routes through xfer.to_numpy — a bare np.asarray on a
+        complex64 buffer wedges the process on the axon transport."""
+        from grtpu.utils.xfer import to_numpy
         out = []
         for p, counts in zip(parts, counts_accum):
-            arr = np.asarray(p)[: int(counts[owner.name])]
+            arr = to_numpy(p)[: int(counts[owner.name])]
             out.append(arr.reshape((-1,) + arr.shape[2:]))
         return np.concatenate(out, axis=0) if out else None
 

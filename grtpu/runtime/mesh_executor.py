@@ -408,14 +408,16 @@ class MeshExecutor(StreamExecutor):
     def _compact_chan(self, owner: Block, parts, counts_accum):
         """Per-channel emission compaction: each step's buffer is
         (nchannels, rows, items, ...) with that step's per-channel valid
-        row counts; returns a list of per-channel streams."""
+        row counts; returns a list of per-channel streams.  Delegates to
+        StreamExecutor._compact_emissions per channel (one compaction
+        contract — and one dtype-safe readback path — for both
+        executors)."""
         out = []
         for c in range(self.nchannels):
-            segs = []
-            for p, counts in zip(parts, counts_accum):
-                arr = np.asarray(p)[c][: int(counts[owner.name][c])]
-                segs.append(arr.reshape((-1,) + arr.shape[2:]))
-            out.append(np.concatenate(segs, axis=0) if segs else None)
+            parts_c = [p[c] for p in parts]
+            counts_c = [{owner.name: int(cc[owner.name][c])}
+                        for cc in counts_accum]
+            out.append(self._compact_emissions(owner, parts_c, counts_c))
         return out
 
     def _mesh_finalize(self, outs_accum, sink_accum, n_in, counts_accum):

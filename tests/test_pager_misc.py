@@ -540,3 +540,19 @@ class TestSelftestBlocks:
         chk.captured = (words.astype(np.int32),)
         rep = chk.report()
         assert rep["locked"] and rep["total_errors"] <= 1
+
+
+class TestFlexMalformedFrames:
+    def test_corrupt_biw_does_not_crash(self):
+        """A noise-corrupted BIW can claim vector offsets past the 88-word
+        frame; parse_frame must skip out-of-range entries, not raise."""
+        pages = pager.parse_frame([50 << 10] + [0x12345] * 87)
+        assert isinstance(pages, list)
+        pages = pager.parse_frame([(63 << 10) | (3 << 8)] + [0x155555] * 87)
+        assert isinstance(pages, list)
+
+    def test_feed_survives_garbage_frames(self):
+        fp = pager.FlexParse()
+        rng = np.random.RandomState(0)
+        fp.feed(rng.randint(0, 1 << 21, 88 * 3))
+        assert isinstance(fp.pages, list)

@@ -501,3 +501,30 @@ class TestDeviceLoop:
         ex.add_tags(0, [Tag(5, "k", 1)])
         with pytest.raises(ValueError, match="host-plane"):
             ex.run(np.zeros(512, np.float32), device_loop=True)
+
+
+class TestDeviceLoopDonate:
+    def test_donate_false_preserves_held_state(self):
+        """A donate=False executor may have handed out ex.state (the
+        step_fn embedding surface); run(device_loop=True) must not donate
+        those buffers to the scan jit."""
+        import jax.numpy as jnp
+        import numpy as np
+        from grtpu import Graph, StreamExecutor
+        from grtpu.runtime.block import Port
+        from grtpu.blocks.gengen import AddConst, VectorSink
+
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        sink = VectorSink()
+        g.connect(pin, AddConst(1.0), sink)
+        ex = StreamExecutor(g, chunk_size=64, donate=False)
+        held = ex.state                      # caller holds a reference
+        x = jnp.arange(256, dtype=jnp.float32)
+        ex.run(x, device_loop=True)
+        # held buffers must still be alive and readable
+        import jax
+        leaves = jax.tree_util.tree_leaves(held)
+        for leaf in leaves:
+            np.asarray(leaf)                 # raises if deleted
+        np.testing.assert_allclose(sink.data()[:4], [1, 2, 3, 4])
