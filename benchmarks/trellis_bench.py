@@ -40,6 +40,12 @@ def slope_time(make, args, ms=(1, 5), reps=3):
 
 def main():
     import jax
+    # persistent compile cache: tunnel-side compiles dominate cold runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from grtpu.trellis import FSM, Interleaver, sccc_decoder, viterbi
