@@ -183,6 +183,7 @@ class MeshExecutor(StreamExecutor):
         sharded = jax.shard_map(local_fn, mesh=self.mesh,
                                 in_specs=in_specs, out_specs=out_specs,
                                 check_vma=False)
+        self._sharded_local = sharded        # device_loop scans this
         self._jit_step = jax.jit(
             sharded, donate_argnums=(0,) if donate else ())
 
@@ -356,12 +357,18 @@ class MeshExecutor(StreamExecutor):
         self._advance_tags({})
         return pads, caps
 
-    def run(self, *ext_inputs, steps: Optional[int] = None):
+    def run(self, *ext_inputs, steps: Optional[int] = None,
+            device_loop: bool = False):
         """Stream (nchannels, n) inputs through in chunks; returns each
         fixed-rate output pad as a (nchannels, n_out) array and each
         VR-segment pad as a per-channel list of arrays (channels consume
         at independent recovered rates).  Sink captures land in
-        ``self.sink_data`` with the same convention."""
+        ``self.sink_data`` with the same convention.
+
+        ``device_loop=True`` runs every chunk of a finite input as ONE
+        jitted lax.scan over the sharded step (the mesh analog of
+        StreamExecutor.run(device_loop=True)): zero host work per chunk,
+        bit-identical to the stepwise path including VR FIFO state."""
         n_pads = len(self.flat.in_pads)
         if len(ext_inputs) != n_pads:
             raise ValueError(
@@ -399,11 +406,56 @@ class MeshExecutor(StreamExecutor):
             if pad_to != n else x
             for x in xs
         ]
+        if device_loop:
+            return self._run_device_mesh(xs, n, nchunks)
         for c in range(nchunks):
             chunk = tuple(x[:, c * cs:(c + 1) * cs] for x in xs)
             pads, caps = self.step(*chunk)
             collect(pads, caps)
         return self._mesh_finalize(outs_accum, sink_accum, n, counts_accum)
+
+    def _run_device_mesh(self, xs, n_in, nchunks):
+        """All chunks in one dispatch: lax.scan over the shard_map'd step
+        (shard_map is traceable, so the whole sharded stream runs as one
+        XLA program; chunking/unchunking live inside the jit)."""
+        self._check_versions()
+        cs = self.chunk_size
+        key = ("mesh", nchunks)
+        scan_jit = self._scan_cache.get(key)
+        if scan_jit is None:
+            sharded = self._sharded_local
+
+            def scan_all(state, flat_xs):
+                stk = tuple(
+                    jnp.swapaxes(
+                        x.reshape((x.shape[0], nchunks, cs) + x.shape[2:]),
+                        0, 1)
+                    for x in flat_xs)
+                return jax.lax.scan(lambda s, ch: sharded(s, ch), state,
+                                    stk, length=nchunks)
+
+            scan_jit = jax.jit(
+                scan_all, donate_argnums=(0,) if self._donate else ())
+            self._scan_cache[key] = scan_jit
+        self.state, (pads_stk, caps_stk) = scan_jit(self.state, tuple(xs))
+        self._bump_counters(nchunks)
+        outs_accum: List[List] = [[] for _ in self.flat.out_pads]
+        sink_accum: Dict[str, List] = {}
+        counts_accum: List[Dict[str, np.ndarray]] = []
+        for c in range(nchunks):
+            pads_c, caps_c = jax.tree_util.tree_map(
+                lambda a: a[c], (pads_stk, caps_stk))
+            for i, v in enumerate(pads_c):
+                outs_accum[i].append(v)
+            for name, vals in caps_c.items():
+                if name == "__vr_counts__":
+                    counts_accum.append(
+                        {k: np.asarray(v).astype(np.int64)
+                         for k, v in vals.items()})
+                    continue
+                sink_accum.setdefault(name, []).append(vals)
+        return self._mesh_finalize(outs_accum, sink_accum, n_in,
+                                   counts_accum)
 
     def _compact_chan(self, owner: Block, parts, counts_accum):
         """Per-channel emission compaction: each step's buffer is
