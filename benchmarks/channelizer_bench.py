@@ -40,35 +40,58 @@ def main():
     re = jnp.asarray(r.randn(n + hist).astype(np.float32))
     im = jnp.asarray(r.randn(n + hist).astype(np.float32))
 
-    def make(m):
+    def make(m, prec):
         @jax.jit
         def g(re, im):
             def body(i, carry):
                 x = (re + carry * 1e-20 + 1j * im).astype(jnp.complex64)
-                y = channelize(x, proto, N, precision="bf16x3")
+                y = channelize(x, proto, N, precision=prec)
                 return jnp.sum(jnp.abs(y[-1]) ** 2)
 
             return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
 
         return g
 
-    g1, g4 = make(1), make(4)
-    float(np.asarray(g1(re, im)))
-    float(np.asarray(g4(re, im)))
-    slopes = []
-    for _ in range(4):
-        t0 = time.perf_counter()
+    # single-pass bf16 accuracy vs the exact path (small one-shot program)
+    @jax.jit
+    def snr_fn(re, im):
+        x = (re[: (1 << 16) + hist] + 1j * im[: (1 << 16) + hist]
+             ).astype(jnp.complex64)
+        ya = channelize(x, proto, N, precision="f32")
+        yb = channelize(x, proto, N, precision="bf16")
+        err = jnp.abs(ya - yb) ** 2
+        return 10.0 * jnp.log10(jnp.sum(jnp.abs(ya) ** 2)
+                                / jnp.maximum(jnp.sum(err), 1e-30))
+    bf16_snr = float(np.asarray(snr_fn(re, im)))
+
+    def measure(prec):
+        g1, g4 = make(1, prec), make(4, prec)
         float(np.asarray(g1(re, im)))
-        t1 = time.perf_counter()
         float(np.asarray(g4(re, im)))
-        t2 = time.perf_counter()
-        s = ((t2 - t1) - (t1 - t0)) / 3
-        if s > 0:
-            slopes.append(s)
-        fallback = (t2 - t1) / 3
-    # all-jitter rounds (wedgy tunnel): fall back to the amortized m-big
-    # time so the bench still prints its JSON line
-    per = min(slopes) if slopes else fallback
+        slopes = []
+        fallback = None
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(np.asarray(g1(re, im)))
+            t1 = time.perf_counter()
+            float(np.asarray(g4(re, im)))
+            t2 = time.perf_counter()
+            s = ((t2 - t1) - (t1 - t0)) / 3
+            if s > 0:
+                slopes.append(s)
+            fallback = (t2 - t1) / 3
+        # all-jitter rounds (wedgy tunnel): fall back to the amortized
+        # m-big time so the bench still prints its JSON line
+        return min(slopes) if slopes else fallback
+
+    per_b = measure("bf16")
+    print(json.dumps({
+        "metric": "pfb_channelizer_64ch_input_rate_bf16",
+        "value": round(n / per_b / 1e6, 1),
+        "unit": "Msamples/s",
+        "snr_db_vs_f32": round(bf16_snr, 1),
+    }))
+    per = measure("bf16x3")
     msps = n / per / 1e6
     print(json.dumps({
         "metric": "pfb_channelizer_64ch_input_rate",

@@ -97,18 +97,22 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
               for j in range(kp)]
 
         def cmm(a, m):
-            if precision == "bf16x3":
+            if precision in ("bf16x3", "bf16"):
                 def rmm(p, q):
                     ph = p.astype(jnp.bfloat16)
-                    pl = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
                     qh = q.astype(jnp.bfloat16)
-                    ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
 
                     def mm(u, v):
                         return jax.lax.dot_general(
                             u, v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
 
+                    if precision == "bf16":
+                        # single pass (~48-50 dB): for chains whose demods
+                        # lock far below that, at ~1.5x the 3-pass rate
+                        return mm(ph, qh)
+                    pl = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+                    ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
                     return mm(ph, qh) + mm(ph, ql) + mm(pl, qh)
             else:
                 def rmm(p, q):
