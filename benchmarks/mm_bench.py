@@ -41,23 +41,26 @@ def main():
     gm, go = 0.175, 0.25 * 0.175 ** 2
 
     def bench(fn_builder, ms=(1, 3)):
+        # builders take a traced m: one compile serves both slope points
+        g = fn_builder(None)
+        float(np.asarray(g(x, jnp.int32(ms[0]))))
         ts = {}
         for m in ms:
-            g = fn_builder(m)
-            float(np.asarray(g(x)))
+            mm_ = jnp.int32(m)
+            float(np.asarray(g(x, mm_)))
             t0 = time.perf_counter()
             for _ in range(3):
-                float(np.asarray(g(x)))
+                float(np.asarray(g(x, mm_)))
             ts[m] = (time.perf_counter() - t0) / 3
         return (ts[ms[1]] - ts[ms[0]]) / (ms[1] - ms[0])
 
-    def make_windowed(m):
+    def make_windowed(_):
         st = loops.mm_windowed_init_state(float(sps), 0.5)
         st = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (C,) + a.shape), st)
 
         @jax.jit
-        def g(x):
+        def g(x, m):
             def body(i, s):
                 ys, _ = jax.vmap(lambda xs, stt: loops.
                                  clock_recovery_mm_ff_windowed(
@@ -67,13 +70,13 @@ def main():
             return jax.lax.fori_loop(0, m, body, jnp.float32(0))
         return g
 
-    def make_loop(m):
+    def make_loop(_):
         st = loops.mm_init_state(float(sps), 0.5)
         st = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (C,) + a.shape), st)
 
         @jax.jit
-        def g(x):
+        def g(x, m):
             def body(i, s):
                 ys, nv, _ = jax.vmap(lambda xs, stt: loops.
                                      clock_recovery_mm_ff(
@@ -83,7 +86,7 @@ def main():
             return jax.lax.fori_loop(0, m, body, jnp.float32(0))
         return g
 
-    def make_windowed_frac(m, fsps=5.3):
+    def make_windowed_frac(_, fsps=5.3):
         P, Q = loops.rationalize_sps(fsps)
         Lf = -(-P // Q) + 2 * W + loops.NTAPS
         Tf = T - T % Q
@@ -95,7 +98,7 @@ def main():
                          .astype(np.float32))
 
         @jax.jit
-        def g(x):
+        def g(x, m):
             def body(i, s):
                 ys, _ = jax.vmap(lambda xs, stt: loops.
                                  clock_recovery_mm_ff_windowed(
@@ -103,7 +106,7 @@ def main():
                                      W=W))(x, st)
                 return jnp.sum(ys)
             return jax.lax.fori_loop(0, m, body, jnp.float32(0))
-        return lambda _x: g(xf)
+        return lambda _x, m: g(xf, m)
 
     per_w = bench(make_windowed)
     win_msps = C * T / per_w / 1e6

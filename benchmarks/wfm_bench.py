@@ -64,9 +64,11 @@ def main():
             lambda aa, uu, s: linear_recurrence(aa, uu, s))(a, u, st)
         return y, last
 
-    def make(m, fir_impl):
+    def make(fir_impl):
+        # m is a traced argument: ONE compile per variant serves both
+        # slope points (tunnel-side compiles dominate the bench runtime)
         @jax.jit
-        def g(re, im, st):
+        def g(re, im, st, m):
             def body(i, s):
                 iq = ((re + s[:, None] * 1e-20) + 1j * im).astype(jnp.complex64)
                 _, s2 = wfm_bank(iq, s, fir_impl)
@@ -124,17 +126,18 @@ def main():
           flush=True)
 
     for fir_impl in ("xla", "pallas", "pallas_bf16"):
+        print(f"# compiling {fir_impl}", file=sys.stderr, flush=True)
+        g = make(fir_impl)
+        float(np.asarray(g(re, im, st, jnp.int32(1))))  # the one compile
         times = {}
         for m in (1, 5):
-            print(f"# compiling {fir_impl} m={m}", file=sys.stderr,
-                  flush=True)
-            g = make(m, fir_impl)
-            float(np.asarray(g(re, im, st)))
+            mm = jnp.int32(m)
+            float(np.asarray(g(re, im, st, mm)))
             reps = 3
             vals = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                float(np.asarray(g(re, im, st)))
+                float(np.asarray(g(re, im, st, mm)))
                 vals.append(time.perf_counter() - t0)
             times[m] = float(np.median(vals))
         per = (times[5] - times[1]) / 4
