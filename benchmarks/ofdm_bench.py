@@ -21,12 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import jax
+    # persistent compile cache: tunnel-side compiles dominate cold runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from grtpu.digital.ofdm import OfdmFrameSink, OfdmModem, OfdmReceiver
     from grtpu.runtime.block import Port
     from grtpu.runtime.executor import StreamExecutor
     from grtpu.runtime.graph import Graph
+    from grtpu.utils.xfer import to_numpy
 
     m = OfdmModem(fft_len=64, occupied=48)
     nsym = 8
@@ -38,7 +46,10 @@ def main():
     sigs, bits_all = [], []
     for _ in range(nframes):
         bits = rng.randint(0, 2, nsym * m.occupied * 2).astype(np.uint8)
-        tx = np.asarray(m.modulate(bits))
+        # NEVER bare np.asarray on a device complex array: on the axon
+        # tunnel a failed complex D2H wedges the process (CLAUDE.md);
+        # to_numpy routes complex via two f32 plane readbacks.
+        tx = to_numpy(m.modulate(bits))
         sig = np.concatenate([np.zeros(200, np.complex64), tx])
         n = len(sig)
         sig = sig * np.exp(1j * cfo * np.arange(n))
@@ -70,7 +81,7 @@ def main():
 
     ex = build()
     bits_out, _, _ = ex.run(stream)        # compile + warm
-    bits_out = np.asarray(bits_out)
+    bits_out = to_numpy(bits_out)
     per = nsym * m.occupied * 2
     nfr = min(len(bits_out) // per, nframes)
     # align each decoded frame to its best-matching sent frame (a missed
@@ -81,14 +92,20 @@ def main():
         errs += min(int((fr != b).sum()) for b in bits_all)
     ber = errs / max(nfr * per, 1)
 
-    # throughput: keep streaming the same executor (state carries over —
-    # valid continuation; the jitted step stays warm), min over rounds
+    # throughput: per-chunk python dispatch is tunnel-RTT-bound (measured
+    # 0.02 Msps over the axon tunnel — every step syncs on the VR count
+    # readback), so the recorded number uses the TPU-native execution mode:
+    # device_loop=True scans ALL chunks in one dispatch (bit-identical to
+    # step-mode; the host only compacts emissions afterwards).  A longer
+    # tiled stream amortizes the remaining per-run host work.
+    big = np.tile(stream, 8)
+    ex.run(big, device_loop=True)          # compile the scan + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        ex.run(stream)
+        ex.run(big, device_loop=True)
         times.append(time.perf_counter() - t0)
-    msps = len(stream) / min(times) / 1e6
+    msps = len(big) / min(times) / 1e6
 
     print(json.dumps({
         "metric": "ofdm_streaming_receiver",

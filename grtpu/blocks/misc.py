@@ -76,33 +76,43 @@ class WaveletFF(Block):
 class BurstTagger(Block):
     """gr_burst_tagger: signal passthrough; the second (magnitude) input
     gates burst start/end and real stream Tags ("burst", True/False) are
-    emitted at the transitions — the executor's emits_tags machinery calls
-    make_tags each chunk (gr_burst_tagger.cc work's add_item_tag)."""
+    emitted at the transitions (gr_burst_tagger.cc work's add_item_tag).
+
+    Tag DETECTION runs in-jit (``device_tags``): transitions are found on
+    the device and only a fixed-size (offset, active) record crosses to
+    the host — so the block works under step(), device_loop=True and
+    MeshExecutor alike, and the carried last-active flag lives in the
+    state pytree (checkpointable), not on the host."""
 
     emits_tags = True
+    device_tags = True
 
     def __init__(self, threshold: float = 0.5, dtype=jnp.complex64, name=None):
         self.in_ports = (Port(dtype), Port(jnp.float32))
         self.out_ports = (Port(dtype),)
         super().__init__(name)
         self.threshold = threshold
-        self._last_active = False
+
+    def init_state(self):
+        return jnp.zeros((), jnp.bool_)  # last chunk's final active flag
 
     def apply(self, state, x, mag):
-        return state, x
+        active = mag > self.threshold
+        return active[-1], x
 
-    def make_tags(self, ins, outs, start_in, start_out):
+    def apply_tagged(self, state, x, mag):
+        active = mag > self.threshold
+        prev = jnp.concatenate([state[None], active[:-1]])
+        offs, idx = self._tag_topk(active != prev, active.shape[0])
+        rec = {"offset": offs,
+               "value": jnp.where(offs >= 0, active[idx], False)}
+        return active[-1], x, rec
+
+    def tags_from_device(self, rec, start_in, start_out):
         from grtpu.runtime.tags import Tag
 
-        mag = np.asarray(ins[1])
-        active = mag > self.threshold
-        prev = np.concatenate([[self._last_active], active[:-1]])
-        self._last_active = bool(active[-1]) if len(active) else self._last_active
-        tags = []
-        for i in np.flatnonzero(active != prev):
-            tags.append(Tag(start_out + int(i), "burst", bool(active[i]),
-                            self.name))
-        return tags
+        return [Tag(start_out + int(o), "burst", bool(v), self.name)
+                for o, v in zip(rec["offset"], rec["value"]) if o >= 0]
 
 
 class Annotator(Block):

@@ -70,6 +70,7 @@ class CorrelateAccessCodeTag(Block):
     each code match."""
 
     emits_tags = True
+    device_tags = True
 
     def __init__(self, access_code_bits, threshold: int = 0,
                  key: str = "access_code", name=None):
@@ -84,6 +85,22 @@ class CorrelateAccessCodeTag(Block):
 
     def apply(self, state, x):
         return state, (x[self.history - 1:] & 1).astype(jnp.uint8)
+
+    def apply_tagged(self, state, x):
+        # in-jit detection: the same sliding +-1 correlation as apply,
+        # reduced to a fixed-size offset record (device_tags; the legacy
+        # full-chunk make_tags path below is kept for host-plane use)
+        out = (x[self.history - 1:] & 1).astype(jnp.uint8)
+        n = out.shape[0]
+        flags = access_code_detect(x[:-1] & 1, self.code, self.threshold)
+        offs, _ = self._tag_topk(flags > 0, n)
+        return state, out, {"offset": offs}
+
+    def tags_from_device(self, rec, start_in, start_out):
+        from grtpu.runtime.tags import Tag
+
+        return [Tag(start_out + int(o), self.key, True, self.name)
+                for o in rec["offset"] if o >= 0]
 
     def make_tags(self, ins, outs, start_in, start_out):
         from grtpu.runtime.tags import Tag

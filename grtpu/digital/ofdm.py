@@ -112,7 +112,12 @@ class OfdmModem:
         known_time = np.fft.ifft(known_freq, axis=1).astype(np.complex64)
         frames = np.concatenate(
             [self.sync_time[None, :], known_time, data_time], axis=0)
-        return self._with_cp(jnp.asarray(frames))
+        # stay on host: the TX burst builder is numpy end-to-end, and an
+        # eager complex H2D here poisons the array handle on transports
+        # without complex transfer support (axon; see utils.xfer) — jit
+        # callers stage host arrays at the trace boundary anyway
+        cp = frames[:, -self.cp_len:]
+        return np.concatenate([cp, frames], axis=1).reshape(-1)
 
     # --------------------------------------------------------------- sync
     def sync_metric(self, x: jnp.ndarray) -> jnp.ndarray:

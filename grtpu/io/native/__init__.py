@@ -76,6 +76,10 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.grtpu_udp_pump.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                    ctypes.c_int, ctypes.c_size_t]
     lib.grtpu_udp_pump_stop.argtypes = [ctypes.c_void_p]
+    for fn in ("grtpu_udp_pump_rx_dgrams", "grtpu_udp_pump_rx_bytes",
+               "grtpu_udp_pump_drops"):
+        getattr(lib, fn).restype = ctypes.c_size_t
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.grtpu_udp_sender.restype = ctypes.c_void_p
     lib.grtpu_udp_sender.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                      ctypes.c_size_t]
@@ -208,6 +212,21 @@ class UdpPump:
             ring._h, host.encode(), port, payload_size)
         if not self._h:
             raise RuntimeError(f"cannot bind udp {host}:{port}")
+
+    @property
+    def rx_dgrams(self) -> int:
+        """Datagrams landed in the ring so far."""
+        return int(self._lib.grtpu_udp_pump_rx_dgrams(self._h))
+
+    @property
+    def rx_bytes(self) -> int:
+        return int(self._lib.grtpu_udp_pump_rx_bytes(self._h))
+
+    @property
+    def drops(self) -> int:
+        """Kernel-level socket drops (SO_RXQ_OVFL cumulative counter) —
+        datagrams the service failed to drain in time."""
+        return int(self._lib.grtpu_udp_pump_drops(self._h))
 
     def stop(self):
         if self._h:

@@ -64,16 +64,40 @@ struct UdpPump {
   int sock;
   size_t payload;
   std::atomic<int> stop{0};
+  // service-level accounting (stream_service_bench records these):
+  // datagrams/bytes landed in the ring vs kernel-level socket drops
+  // (SO_RXQ_OVFL cmsg counter when available).
+  std::atomic<size_t> rx_dgrams{0};
+  std::atomic<size_t> rx_bytes{0};
+  std::atomic<size_t> drops{0};
   pthread_t thread;
 };
 
 static void* udp_pump_main(void* arg) {
   UdpPump* up = (UdpPump*)arg;
   uint8_t* tmp = new uint8_t[up->payload];
+  char cbuf[64];
   while (!up->stop.load()) {
-    ssize_t got = recv(up->sock, tmp, up->payload, 0);
+    struct iovec iov = {tmp, up->payload};
+    struct msghdr mh = {};
+    mh.msg_iov = &iov;
+    mh.msg_iovlen = 1;
+    mh.msg_control = cbuf;
+    mh.msg_controllen = sizeof(cbuf);
+    ssize_t got = recvmsg(up->sock, &mh, 0);
     if (got < 0) continue;  // timeout -> poll stop flag
+#ifdef SO_RXQ_OVFL
+    for (cmsghdr* c = CMSG_FIRSTHDR(&mh); c; c = CMSG_NXTHDR(&mh, c)) {
+      if (c->cmsg_level == SOL_SOCKET && c->cmsg_type == SO_RXQ_OVFL) {
+        uint32_t d;
+        memcpy(&d, CMSG_DATA(c), sizeof(d));
+        up->drops.store(d);  // kernel counter is cumulative
+      }
+    }
+#endif
     if (got == 0) { grtpu_ring_set_eof(up->rb); break; }
+    up->rx_dgrams.fetch_add(1);
+    up->rx_bytes.fetch_add((size_t)got);
     size_t off = 0;
     while (off < (size_t)got && !up->stop.load()) {
       off += grtpu_ring_write(up->rb, tmp + off, got - off);
@@ -83,6 +107,10 @@ static void* udp_pump_main(void* arg) {
   delete[] tmp;
   return nullptr;
 }
+
+size_t grtpu_udp_pump_rx_dgrams(UdpPump* up) { return up->rx_dgrams.load(); }
+size_t grtpu_udp_pump_rx_bytes(UdpPump* up) { return up->rx_bytes.load(); }
+size_t grtpu_udp_pump_drops(UdpPump* up) { return up->drops.load(); }
 
 UdpPump* grtpu_udp_pump(RingBuf* rb, const char* host, int port,
                         size_t payload) {
@@ -94,6 +122,9 @@ UdpPump* grtpu_udp_pump(RingBuf* rb, const char* host, int port,
   setsockopt(sock, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
   int big = 4 << 20;
   setsockopt(sock, SOL_SOCKET, SO_RCVBUF, &big, sizeof(big));
+#ifdef SO_RXQ_OVFL
+  setsockopt(sock, SOL_SOCKET, SO_RXQ_OVFL, &one, sizeof(one));
+#endif
   sockaddr_in addr = {};
   addr.sin_family = AF_INET;
   addr.sin_port = htons((uint16_t)port);

@@ -125,6 +125,11 @@ def native_udp_source(host: str, port: int, dtype=np.complex64,
                     return
                 yield arr
 
+        def stats(self):
+            """(datagrams landed, bytes landed, kernel socket drops)."""
+            return (self.pump.rx_dgrams, self.pump.rx_bytes,
+                    self.pump.drops)
+
         def close(self):
             self.pump.stop()
             self.ring.close()

@@ -459,6 +459,135 @@ class AtscEqualizerLms:
         return np.asarray(_eq_filter(self.taps, jnp.asarray(x_field)))
 
 
+class AtscEqualizerNop:
+    """Pass-through equalizer (atsci_equalizer_nop.cc:47-118: output =
+    input, cursor-aligned) — the family's null member, useful as the
+    baseline that *shows* when an adaptive equalizer earns its keep."""
+
+    def process_field(self, x_field):
+        x_field = np.asarray(x_field, np.float32)
+        return x_field[EQ_CURSOR: EQ_CURSOR + SYMBOLS_PER_FIELD]
+
+
+# --- decision-feedback equalizer (atsci_equalizer_lms2.cc:36-37,268-287:
+# NFFTAPS=64 feedforward + NFBTAPS=192 feedback over sliced past outputs,
+# trained on the 704 known field-sync symbols.  The reference ships with
+# the feedback adaptation stubbed out ("kludge()" returns 0 at :283 — the
+# fb taps never move); this is the design completed: both tap sets adapt,
+# NLMS-normalized, and during training the feedback ring holds the KNOWN
+# training levels (correct-decision assumption, standard DFE training). ---
+DFE_NFF = 64
+DFE_NFB = 192
+
+
+def _slice8(y):
+    """Nearest 8-VSB level in {-7,-5,...,+7} (atsci_equalizer_lms2.cc
+    slice(), :56-74)."""
+    m = jnp.clip(jnp.round((y + 7.0) / 2.0), 0.0, 7.0)
+    return 2.0 * m - 7.0
+
+
+@jax.jit
+def _dfe_train(wff, wfb, x_train, d_train, mu):
+    """One NLMS sweep over the training window at step size ``mu``.
+
+    x_train: (FS_TRAIN_LEN + DFE_NFF - 1,) such that training symbol k sees
+    the forward window x_train[k : k + DFE_NFF]; d_train: known levels.
+    wfb[i] multiplies decision d[k-1-i] (past decisions, newest first).
+    Callers gear-shift mu downward across sweeps — the reference's own
+    "FIXME add gear-shifting" (atsci_equalizer_lms2.cc:271): a large step
+    acquires, a small step cuts the steady-state misadjustment below the
+    8-VSB decision margin."""
+    wins_x = x_train[jnp.arange(FS_TRAIN_LEN)[:, None] + np.arange(DFE_NFF)]
+    dpad = jnp.concatenate([jnp.zeros(DFE_NFB, jnp.float32), d_train])
+    wins_d = dpad[jnp.arange(FS_TRAIN_LEN)[:, None]
+                  + (DFE_NFB - 1) - np.arange(DFE_NFB)]
+    # the first NFB training symbols' "past decisions" are really the
+    # previous field's unknown data, not the zeros in dpad — adapting on
+    # that mismatch biases every tap; train only once the known-decision
+    # ring is full (512 clean equations for 256 taps remain)
+    adapt = (jnp.arange(FS_TRAIN_LEN) >= DFE_NFB).astype(jnp.float32)
+
+    def step(carry, inp):
+        wf, wb = carry
+        xw, dw, d, a = inp
+        y = jnp.dot(wf, xw) - jnp.dot(wb, dw)
+        e = a * (y - d)
+        nrm = jnp.dot(xw, xw) + jnp.dot(dw, dw) + 1e-3
+        return (wf - mu * e * xw / nrm, wb + mu * e * dw / nrm), y
+
+    (wff, wfb), _ = lax.scan(step, (wff, wfb),
+                             (wins_x, wins_d, d_train, adapt))
+    return wff, wfb
+
+
+@jax.jit
+def _dfe_filter(wff, wfb, x_ff, d_init):
+    """Decision-feedback filtering: the feedforward part is ONE dense FIR
+    over the whole field (rides the MXU); only the inherently sequential
+    feedback — a 192-tap dot against the carried ring of sliced past
+    decisions — runs in the scan (unroll amortizes iteration overhead)."""
+    ff = jnp.convolve(x_ff, wff[::-1], mode="valid")
+
+    def step(ring, ffk):
+        y = ffk - jnp.dot(wfb, ring)
+        d = _slice8(y)
+        return jnp.concatenate([d[None], ring[:-1]]), y
+
+    _, y = lax.scan(step, d_init, ff, unroll=8)
+    return y
+
+
+class AtscEqualizerDfe:
+    """Per-field decision-feedback equalizer (the lms2 family member):
+    adapt FF+FB taps on the known field-sync symbols (``sweeps`` NLMS
+    passes), then equalize the field's data with frozen taps and live
+    decision feedback.  Consumes the same (SYMBOLS_PER_FIELD +
+    EQ_NTAPS - 1)-sample window as AtscEqualizerLms: the forward window of
+    symbol k is x_field[k + EQ_CURSOR : k + EQ_CURSOR + DFE_NFF] (cursor at
+    the first FF tap; post-cursor ISI is the feedback taps' job)."""
+
+    def __init__(self, sweeps: int = 8):
+        self.wff = None
+        self.wfb = None
+        self.sweeps = sweeps
+
+    def process_field(self, x_field):
+        x_field = np.asarray(x_field, np.float32)
+        mid = x_field[EQ_CURSOR + _PN63_OFFSET:
+                      EQ_CURSOR + _PN63_OFFSET + 63]
+        votes = np.sum(np.sign(mid) == (ATSC_PN63.astype(np.float32) * 2 - 1))
+        which_field = 0 if votes >= 32 else 1
+        d_np = fs_training_levels(which_field)
+        if self.wff is None:
+            x_cur = x_field[EQ_CURSOR: EQ_CURSOR + FS_TRAIN_LEN]
+            scale = float(np.dot(x_cur, d_np) / (np.dot(x_cur, x_cur) + 1e-9))
+            wff = np.zeros(DFE_NFF, np.float32)
+            wff[0] = scale                       # cursor = first FF tap
+            self.wff = jnp.asarray(wff)
+            self.wfb = jnp.zeros(DFE_NFB, jnp.float32)
+        xt = jnp.asarray(x_field[EQ_CURSOR:
+                                 EQ_CURSOR + FS_TRAIN_LEN + DFE_NFF - 1])
+        d = jnp.asarray(d_np)
+        for s in range(self.sweeps):
+            # gear shift: halve mu each sweep after the first half
+            mu = 0.25 * (0.5 ** max(0, s - self.sweeps // 2))
+            self.wff, self.wfb = _dfe_train(self.wff, self.wfb, xt, d,
+                                            jnp.float32(mu))
+        # field data: the scan starts at the field sync itself, so the
+        # decision ring warms up over the full 832-symbol sync segment
+        # before the first data segment — the zero init only touches
+        # equalized output nobody demuxes
+        ring = jnp.zeros(DFE_NFB, jnp.float32)
+        x_ff = jnp.asarray(
+            x_field[EQ_CURSOR: EQ_CURSOR + SYMBOLS_PER_FIELD + DFE_NFF - 1])
+        return np.asarray(_dfe_filter(self.wff, self.wfb, x_ff, ring))
+
+
+EQUALIZERS = {"nlms": AtscEqualizerLms, "lms2": AtscEqualizerDfe,
+              "dfe": AtscEqualizerDfe, "nop": AtscEqualizerNop}
+
+
 # ---------------------------------------------------------------------------
 # Field sync demux (GrAtscFieldSyncDemux analog) + full RF receiver.
 # ---------------------------------------------------------------------------
@@ -483,13 +612,15 @@ class AtscRfReceiver:
     ready for the transport decoder (grtpu.models.atsc.AtscReceiver)."""
 
     def __init__(self, fs: float, if_freq: float,
-                 ratio: float | None = None):
+                 ratio: float | None = None, equalizer: str = "nlms"):
         self.fs = fs
         self.if_freq = if_freq
         self.ratio = ratio if ratio is not None else fs / 10.76e6
         self.fpll_state = fpll_init_state(if_freq, fs)
         self.btl_state = btl_init_state(self.ratio)
-        self.eq = AtscEqualizerLms()
+        # selectable family, as the reference's -e flag chooses among
+        # atsci_equalizer_{nop,lms,lms2} (atsc_rx.py / GrAtscEqualizer)
+        self.eq = EQUALIZERS[equalizer]()
         # Matched RRC as a passband filter BEFORE the FPLL (fpll.py: a half
         # symbol-rate lowpass RRC heterodyned up to the band center).  This
         # is load-bearing: the band-edge shaping suppresses the data power

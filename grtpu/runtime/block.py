@@ -142,10 +142,24 @@ class Block:
     # Tag propagation policy, analog of gr_block.h:68-72 TPP_*.
     tag_propagation: str = "all_to_all"  # "dont" | "all_to_all" | "one_to_one"
     # True for blocks that *emit* tags during work (gr_burst_tagger,
-    # correlate_access_code_tag): the executor captures the block's in/out
-    # chunks each step and calls make_tags on the host (tags are a
-    # control-plane construct; see grtpu.runtime.tags).
+    # correlate_access_code_tag).  Two mechanisms, in preference order:
+    #   1. device_tags = True: the block implements apply_tagged(); tag
+    #      DETECTION runs in-jit and only a small fixed-size record (chunk-
+    #      relative offsets + aux values) crosses to the host, where
+    #      tags_from_device() turns it into Tag objects.  Works under
+    #      step(), device_loop=True, and MeshExecutor (the record just
+    #      gains leading chunk/channel axes).
+    #   2. legacy make_tags(): the executor captures the block's full
+    #      in/out chunks each step and synthesizes tags on the host.
+    # Propagation is host-plane either way (grtpu.runtime.tags); offsets
+    # stay exact because chunk sizes are static.
     emits_tags: bool = False
+    device_tags: bool = False
+    # Fixed per-chunk tag-record capacity for device_tags blocks (tags
+    # beyond this in ONE chunk are dropped; the in-jit record must be
+    # statically shaped).  The reference has no such cap, but a chunk with
+    # hundreds of burst edges is pathological; raise per-block if needed.
+    max_tags_per_chunk: int = 128
 
     _instance_counter = [0]
     # Bumped whenever ANY block's compile-relevant parameters change
@@ -227,6 +241,36 @@ class Block:
         edges.  The analog of calling add_item_tag inside general_work
         (gr_burst_tagger.cc work)."""
         return []
+
+    def apply_tagged(self, state, *inputs):
+        """In-jit work + tag detection for ``device_tags`` blocks.
+
+        Returns ``(new_state, outputs, tagrec)`` where ``tagrec`` is a dict
+        of statically-shaped arrays — by convention ``{"offset": int32
+        (max_tags_per_chunk,), chunk-relative OUTPUT-stream offsets with -1
+        marking unused rows, ...aux value arrays aligned with offset...}``.
+        The executor ships the record to the host (leading chunk/channel
+        axes under device_loop / MeshExecutor) and calls
+        :meth:`tags_from_device` to materialize Tag objects."""
+        raise NotImplementedError
+
+    def tags_from_device(self, rec, start_in: int, start_out: int):
+        """Turn one chunk's host-side tag record (numpy arrays, as returned
+        by apply_tagged) into a list of Tags with absolute offsets."""
+        raise NotImplementedError
+
+    def _tag_topk(self, hits, n):
+        """In-jit helper: chunk-relative indices of up to
+        ``max_tags_per_chunk`` True values of ``hits`` (length-n bool),
+        ascending, padded with -1.  top_k on a recency score — never a
+        dynamic-shape nonzero, never a big gather (CLAUDE.md)."""
+        import jax
+
+        k = min(self.max_tags_per_chunk, n)
+        score = jnp.where(hits, n - jnp.arange(n), 0)
+        vals, idx = jax.lax.top_k(score, k)
+        offs = jnp.where(vals > 0, n - vals, -1).astype(jnp.int32)
+        return offs, jnp.where(vals > 0, idx, 0)
 
     def noutput_for(self, n_in: int) -> int:
         if n_in % self.decim:

@@ -79,6 +79,21 @@ def _ingest(x):
     return xfer.device_array(x)
 
 
+class _TagPlane:
+    """Host-side tag state for ONE linear stream: per-edge tag queues, the
+    set of edges with tags in flight, and terminal stores (sink/pad tags).
+    StreamExecutor owns one; MeshExecutor owns one per channel — the
+    propagation *plan* (topology, counters) is shared across planes."""
+
+    __slots__ = ("tags", "tagged", "sink_tags", "pad_tags")
+
+    def __init__(self, edge_keys):
+        self.tags: Dict[str, List[Tag]] = {k: [] for k in edge_keys}
+        self.tagged: set = set()
+        self.sink_tags: Dict[str, List[Tag]] = {}
+        self.pad_tags: Dict[int, List[Tag]] = {}
+
+
 class StreamExecutor:
     """Compile + run a flowgraph over fixed-size time-blocks.
 
@@ -146,10 +161,14 @@ class StreamExecutor:
         self._init_state()
         self._donate = donate and not debug_taps
         self._build_step(self._donate)
-        # host-side stream-tag store per edge key, and absolute item counters
-        self._tags: Dict[str, List[Tag]] = {k: [] for k in self._edge_keys}
-        self.sink_tags: Dict[str, List[Tag]] = {}
-        self.pad_tags: Dict[int, List[Tag]] = {}
+        # host-side stream-tag store per edge key, and absolute item
+        # counters.  One _TagPlane per linear stream: StreamExecutor has
+        # exactly one; MeshExecutor holds one per channel.  The legacy
+        # attribute names alias the plane's containers (same objects).
+        self._plane = _TagPlane(self._edge_keys)
+        self._tags: Dict[str, List[Tag]] = self._plane.tags
+        self.sink_tags: Dict[str, List[Tag]] = self._plane.sink_tags
+        self.pad_tags: Dict[int, List[Tag]] = self._plane.pad_tags
         self.nitems = {b.name: 0 for b in self.order}  # items consumed so far
         self.nitems_out = {b.name: 0 for b in self.order}  # items produced
         self._vr_counts_accum: Dict[str, List[int]] = {
@@ -495,13 +514,24 @@ class StreamExecutor:
                             f"{b.name}: variable-rate apply must return "
                             f"(state, (y_padded, n_valid))")
                     outs = None
+                elif b.emits_tags and b.device_tags and owner is None:
+                    # in-jit tag detection (device_tags): the block returns
+                    # a small statically-shaped record alongside its
+                    # outputs; only that record crosses to the host
+                    res = b.apply_tagged(ctx["blocks"][str(b.uid)], *ins)
+                    new_s, outs, tagrec = res
+                    if not isinstance(outs, (tuple, list)):
+                        outs = (outs,)
+                    outs = tuple(outs)
+                    caps["__tagdev__" + b.name] = dict(tagrec)
                 else:
                     new_s, outs = self._apply_block(
                         b, ctx["blocks"][str(b.uid)], ins)
                 ctx = upd(ctx, "blocks", upd(ctx["blocks"], str(b.uid), new_s))
-                if b.emits_tags and owner is None and outs is not None:
-                    # host-side tag synthesis taps (gr_burst_tagger-style
-                    # add_item_tag): return this block's in/out chunks
+                if (b.emits_tags and not b.device_tags and owner is None
+                        and outs is not None):
+                    # legacy host-side tag synthesis taps (make_tags):
+                    # capture this block's full in/out chunks
                     caps["__tagsrc__" + b.name] = (tuple(ins), tuple(outs))
                 if not b.out_ports and ins:
                     if owner is None:
@@ -694,9 +724,8 @@ class StreamExecutor:
                 )
         self.state, out = self._jit_step(self.state, ext_inputs)
         pads, caps = out
-        tagsrc = {k[len("__tagsrc__"):]: caps.pop(k)
-                  for k in list(caps) if k.startswith("__tagsrc__")}
-        self._advance_tags(tagsrc)
+        tagsrc, tagdev = self._pop_tag_caps(caps)
+        self._advance_tags(self._emitted_from_caps(tagsrc, tagdev))
         return pads, caps
 
     def run(self, *ext_inputs, steps: Optional[int] = None,
@@ -759,10 +788,6 @@ class StreamExecutor:
         carries the full executor state, so the result is bit-identical to
         nchunks step() calls."""
         self._check_versions()
-        if self._tagged_edges or any(b.emits_tags for b in self.order):
-            raise ValueError(
-                "device_loop=True cannot carry stream tags (tags are "
-                "host-plane, advanced once per python step)")
         if self.debug_taps:
             raise ValueError("device_loop does not support debug_taps")
         cs = self.chunk_size
@@ -782,8 +807,10 @@ class StreamExecutor:
                     pads_stk = tuple(
                         p.reshape((-1,) + p.shape[2:]) for p in pads_stk)
                     caps_stk = {
-                        name: tuple(v.reshape((-1,) + v.shape[2:])
-                                    for v in vals)
+                        # tag records keep their per-chunk leading axis:
+                        # the host replays the tag plan chunk by chunk
+                        name: vals if name.startswith("__tag") else
+                        tuple(v.reshape((-1,) + v.shape[2:]) for v in vals)
                         for name, vals in caps_stk.items()
                     }
                 return state, (pads_stk, caps_stk)
@@ -795,10 +822,38 @@ class StreamExecutor:
                 scan_all, donate_argnums=(0,) if self._donate else ())
             self._scan_cache[nchunks] = scan_jit
         self.state, (pads_stk, caps_stk) = scan_jit(self.state, tuple(xs))
-        self._bump_counters(nchunks)
+        tagsrc_stk, tagdev_stk = self._pop_tag_caps(caps_stk)
+        if self._tagged_edges or tagsrc_stk or tagdev_stk:
+            # stream tags under device_loop: replay the host tag plan chunk
+            # by chunk after the single dispatch.  Exact — propagation
+            # depends only on the static chunk sizes plus the per-chunk
+            # emission records the scan captured; results are identical to
+            # nchunks step() calls.  _advance_tags bumps the counters.
+            from grtpu.utils.xfer import to_numpy
+            tagsrc_h = jax.tree_util.tree_map(to_numpy, tagsrc_stk)
+            tagdev_h = {name: {k: to_numpy(v) for k, v in rec.items()}
+                        for name, rec in tagdev_stk.items()}
+            for c in range(nchunks):
+                tagsrc_c = {
+                    name: (tuple(a[c] for a in ins),
+                           tuple(a[c] for a in outs))
+                    for name, (ins, outs) in tagsrc_h.items()}
+                tagdev_c = {name: {k: v[c] for k, v in rec.items()}
+                            for name, rec in tagdev_h.items()}
+                self._advance_tags(
+                    self._emitted_from_caps(tagsrc_c, tagdev_c))
+        else:
+            self._bump_counters(nchunks)
 
         if self.vr_blocks:
-            # per-chunk host compaction (emission counts differ per chunk)
+            # per-chunk host compaction (emission counts differ per chunk).
+            # Read the stacked buffers back in ONE transfer per array first:
+            # slicing device arrays per chunk costs a tunnel round-trip per
+            # slice (measured: the readbacks, not the compute, dominated the
+            # OFDM chain at small chunks).
+            from grtpu.utils.xfer import to_numpy
+            pads_stk, caps_stk = jax.tree_util.tree_map(
+                to_numpy, (pads_stk, caps_stk))
             outs_accum = [[] for _ in self.flat.out_pads]
             sink_accum: Dict[str, List] = {}
             counts_accum: List[Dict[str, int]] = []
@@ -968,7 +1023,7 @@ class StreamExecutor:
         incremental analog of the reference's per-iteration tag pass
         (gr_block_executor.cc:91-156), which only ever looks at the one
         block's own buffers."""
-        self._tagged_edges: set = set()
+        self._tagged_edges: set = self._plane.tagged
         self._count_inc: List[tuple] = []
         self._tag_plan: List[tuple] = []
         for b in self.order:
@@ -998,15 +1053,51 @@ class StreamExecutor:
                 self._tags[k].extend(tags)
                 self._tagged_edges.add(k)
 
-    def _advance_tags(self, tagsrc: Optional[Dict[str, Any]] = None):
+    @staticmethod
+    def _pop_tag_caps(caps):
+        """Split the emitting-block records out of a caps dict: returns
+        ({name: (ins, outs)}, {name: tagrec}) for the legacy make_tags
+        captures and the device_tags records respectively."""
+        tagsrc = {k[len("__tagsrc__"):]: caps.pop(k)
+                  for k in list(caps) if k.startswith("__tagsrc__")}
+        tagdev = {k[len("__tagdev__"):]: caps.pop(k)
+                  for k in list(caps) if k.startswith("__tagdev__")}
+        return tagsrc, tagdev
+
+    def _emitted_from_caps(self, tagsrc, tagdev, nitems=None, nitems_out=None):
+        """Materialize one chunk's emitted Tags from the two cap kinds.
+        Readback routes through xfer.to_numpy (transport-safe dtypes)."""
+        if not tagsrc and not tagdev:
+            return None
+        from grtpu.utils.xfer import to_numpy
+
+        nitems = self.nitems if nitems is None else nitems
+        nitems_out = self.nitems_out if nitems_out is None else nitems_out
+        byname = {b.name: b for b in self.order}
+        emitted: Dict[str, List[Tag]] = {}
+        for name, (ins, outs) in tagsrc.items():
+            b = byname[name]
+            emitted[name] = b.make_tags(
+                tuple(to_numpy(a) for a in ins),
+                tuple(to_numpy(a) for a in outs),
+                nitems[name], nitems_out[name])
+        for name, rec in tagdev.items():
+            b = byname[name]
+            rec_h = {k: to_numpy(v) for k, v in rec.items()}
+            emitted[name] = b.tags_from_device(
+                rec_h, nitems[name], nitems_out[name])
+        return emitted
+
+    def _advance_tags(self, emitted: Optional[Dict[str, List[Tag]]] = None):
         """Host-side per-chunk tag propagation (gr_block_executor.cc:91-156).
 
         Policies follow the reference: TPP_DONT consumes input tags without
         forwarding; TPP_ALL_TO_ALL scales every input tag by relative_rate
         onto every output edge; TPP_ONE_TO_ONE maps input port i's tags to
-        output port i's edges only.  Blocks with ``emits_tags`` have their
-        in/out chunks handed to ``make_tags`` here and the produced tags
-        injected onto their output edges (the add_item_tag analog).
+        output port i's edges only.  ``emitted`` maps emitting-block names
+        to this chunk's freshly synthesized Tags (from make_tags or
+        tags_from_device — see _emitted_from_caps), injected onto their
+        output edges (the add_item_tag analog).
 
         Across a variable-rate boundary, offsets are scaled by the block's
         *nominal* rate — the same approximation the reference makes when a
@@ -1018,25 +1109,32 @@ class StreamExecutor:
         negligible next to a >1 Gsps data plane
         (benchmarks/executor_overhead_bench.py measures this).
         """
-        if not tagsrc and not self._tagged_edges:
+        if not emitted and not self._tagged_edges:
             self._bump_counters()
             return
-        tagged = self._tagged_edges
-        if tagsrc:
+        self._advance_plane(self._plane, emitted)
+        self._bump_counters()
+
+    def _advance_plane(self, plane: _TagPlane,
+                       emitted: Optional[Dict[str, List[Tag]]]):
+        """One stream-plane's tag pass for the current chunk (does NOT bump
+        the shared counters — the caller advances them once per chunk, even
+        when several channel planes advance)."""
+        tagged = plane.tagged
+        if emitted:
             byname = {b.name: b for b in self.order}
-            for name, (ins, outs) in tagsrc.items():
+            for name, new in emitted.items():
+                if not new:
+                    continue
                 b = byname[name]
-                new = b.make_tags(ins, outs, self.nitems[name],
-                                  self.nitems_out[name])
-                if new:
-                    for e in self.flat.downstream_of(b):
-                        k = _edge_key(e)
-                        if k in self._tags:
-                            self._tags[k].extend(new)
-                            tagged.add(k)
-                        elif isinstance(e.dst.block, Pad):
-                            self.pad_tags.setdefault(
-                                e.dst.block.index, []).extend(new)
+                for e in self.flat.downstream_of(b):
+                    k = _edge_key(e)
+                    if k in plane.tags:
+                        plane.tags[k].extend(new)
+                        tagged.add(k)
+                    elif isinstance(e.dst.block, Pad):
+                        plane.pad_tags.setdefault(
+                            e.dst.block.index, []).extend(new)
 
         for b, in_list, down_list, n_in in self._tag_plan:
             hit = [ik for ik in in_list if ik[1] in tagged]
@@ -1046,11 +1144,11 @@ class StreamExecutor:
             limit = start + n_in
             in_by_port: Dict[int, List[Tag]] = {}
             for i, k in hit:
-                lst = self._tags[k]
+                lst = plane.tags[k]
                 take = [t for t in lst if t.offset < limit]
                 if take:
                     keep = [t for t in lst if t.offset >= limit]
-                    self._tags[k] = keep
+                    plane.tags[k] = keep
                     if not keep:
                         tagged.discard(k)
                     in_by_port[i] = take
@@ -1060,7 +1158,7 @@ class StreamExecutor:
             if not b.out_ports:
                 # terminal blocks retain their received tags for the host
                 # (the analog of reading gr_buffer tags at a sink)
-                self.sink_tags.setdefault(b.name, []).extend(all_in)
+                plane.sink_tags.setdefault(b.name, []).extend(all_in)
                 continue
             if b.tag_propagation == "dont":
                 continue  # consumed, not forwarded (TPP_DONT)
@@ -1073,11 +1171,10 @@ class StreamExecutor:
                     continue
                 out_tags = propagate_tags(src_tags, b.relative_rate)
                 if dst_pad is not None:
-                    self.pad_tags.setdefault(dst_pad, []).extend(out_tags)
-                elif k in self._tags:
-                    self._tags[k].extend(out_tags)
+                    plane.pad_tags.setdefault(dst_pad, []).extend(out_tags)
+                elif k in plane.tags:
+                    plane.tags[k].extend(out_tags)
                     tagged.add(k)
-        self._bump_counters()
 
     def dump_debug_taps(self, directory: str):
         """Write every edge's captured stream to <dir>/<edge>.dat (raw

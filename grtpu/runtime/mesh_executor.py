@@ -35,9 +35,13 @@ continuity across steps, and the (pads, captures) output contract all match
 the single-device executor; results are sample-exact against it per
 channel.
 
-Stream tags are host-control-plane constructs tied to a single linear
-stream; the mesh executor rejects tag-emitting blocks rather than guessing
-a per-channel tag semantics.
+Stream tags: every channel is its own linear stream, so the mesh holds one
+host-side tag plane per channel (``chan_planes``).  Tag-emitting blocks must
+implement the in-jit ``device_tags`` contract (detection on device, a small
+fixed-size record per chunk — gaining leading channel/chunk axes here);
+propagation replays the shared host plan per channel.  Works under step()
+and ``run(device_loop=True)`` on chan-sharded meshes (a time-sharded mesh
+would need per-shard offset rebasing and is rejected).
 """
 
 from __future__ import annotations
@@ -51,7 +55,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from grtpu.runtime.block import Block
-from grtpu.runtime.executor import StreamExecutor, _edge_key, _ingest
+from grtpu.runtime.executor import (StreamExecutor, _TagPlane, _edge_key,
+                                    _ingest)
 from grtpu.runtime.graph import FlatGraph, Graph, Pad
 
 
@@ -137,11 +142,18 @@ class MeshExecutor(StreamExecutor):
     def _build_step(self, donate: bool):
         super()._build_step(False)  # defines self._step_fn (per-channel)
         for b in self.order:
-            if b.emits_tags:
+            if b.emits_tags and not b.device_tags:
                 raise NotImplementedError(
-                    f"{b.name}: tag-emitting blocks are a single-stream "
-                    f"host-control-plane feature; MeshExecutor does not "
-                    f"support them (run tag flows on StreamExecutor)")
+                    f"{b.name}: legacy make_tags emitters capture full "
+                    f"chunks on the host and may keep host state per "
+                    f"stream; under MeshExecutor implement the in-jit "
+                    f"device_tags contract (apply_tagged/tags_from_device) "
+                    f"instead")
+            if b.emits_tags and self.s_time > 1:
+                raise NotImplementedError(
+                    f"{b.name}: tag emission under a time-sharded mesh "
+                    f"would need per-shard offset rebasing; use a mesh "
+                    f"with a size-1 time axis (shard over 'chan')")
         if self.vr_blocks and self.s_time > 1:
             raise NotImplementedError(
                 "variable-rate blocks consume at a data-dependent rate; a "
@@ -335,10 +347,62 @@ class MeshExecutor(StreamExecutor):
         return step
 
     # ------------------------------------------------------------------ run
-    def add_tags(self, pad_index, tags):
-        raise NotImplementedError(
-            "stream tags are a single-stream host-plane feature; use "
-            "StreamExecutor for tagged flows")
+    # -------------------------------------------------------------- tags
+    # Every channel is its own linear stream, so the mesh holds one
+    # _TagPlane per channel; the propagation plan and the absolute item
+    # counters are rate-static and therefore shared across channels.
+    @property
+    def chan_planes(self):
+        if not hasattr(self, "_chan_planes"):
+            self._chan_planes = [_TagPlane(self._edge_keys)
+                                 for _ in range(self.nchannels)]
+        return self._chan_planes
+
+    def add_tags(self, pad_index, tags, channel: Optional[int] = None):
+        """Attach stream tags to an input pad; ``channel=None`` applies
+        them to every channel's stream."""
+        chans = range(self.nchannels) if channel is None else [channel]
+        for e in self.flat.edges:
+            if isinstance(e.src.block, Pad) and e.src.block.index == pad_index:
+                k = _edge_key(e)
+                for c in chans:
+                    plane = self.chan_planes[c]
+                    plane.tags[k].extend(tags)
+                    plane.tagged.add(k)
+
+    def sink_tags_chan(self, name: str, channel: int):
+        """Tags retained at sink block ``name`` on one channel's stream."""
+        return self.chan_planes[channel].sink_tags.get(name, [])
+
+    def pad_tags_chan(self, pad_index: int, channel: int):
+        """Tags that crossed output pad ``pad_index`` on one channel."""
+        return self.chan_planes[channel].pad_tags.get(pad_index, [])
+
+    def _advance_mesh_tags(self, tagsrc, tagdev):
+        """Per-channel tag pass: slice the (nchannels, ...) device-tag
+        records per channel and advance that channel's plane.  One host
+        readback per record array (not per channel); counters bump once."""
+        planes = self._chan_planes if hasattr(self, "_chan_planes") else None
+        if not tagsrc and not tagdev and (
+                planes is None or not any(p.tagged for p in planes)):
+            self._bump_counters()
+            return
+        from grtpu.utils.xfer import to_numpy
+
+        planes = self.chan_planes
+        tagdev_h = {name: {k: to_numpy(v) for k, v in rec.items()}
+                    for name, rec in tagdev.items()}
+        tagsrc_h = jax.tree_util.tree_map(to_numpy, tagsrc)
+        for c in range(self.nchannels):
+            src_c = {name: (tuple(a[c] for a in ins),
+                            tuple(a[c] for a in outs))
+                     for name, (ins, outs) in tagsrc_h.items()}
+            dev_c = {name: {k: v[c] for k, v in rec.items()}
+                     for name, rec in tagdev_h.items()}
+            emitted = self._emitted_from_caps(src_c, dev_c)
+            if emitted or planes[c].tagged:
+                self._advance_plane(planes[c], emitted or {})
+        self._bump_counters()
 
     def step(self, *ext_inputs):
         """One time-block over all channels.  Inputs/outputs carry a
@@ -354,7 +418,8 @@ class MeshExecutor(StreamExecutor):
                     f"(nchannels, chunk), got {tuple(x.shape[:2])}")
         self.state, out = self._jit_step(self.state, ext_inputs)
         pads, caps = out
-        self._advance_tags({})
+        tagsrc, tagdev = self._pop_tag_caps(caps)
+        self._advance_mesh_tags(tagsrc, tagdev)
         return pads, caps
 
     def run(self, *ext_inputs, steps: Optional[int] = None,
@@ -438,7 +503,25 @@ class MeshExecutor(StreamExecutor):
                 scan_all, donate_argnums=(0,) if self._donate else ())
             self._scan_cache[key] = scan_jit
         self.state, (pads_stk, caps_stk) = scan_jit(self.state, tuple(xs))
-        self._bump_counters(nchunks)
+        tagsrc_stk, tagdev_stk = self._pop_tag_caps(caps_stk)
+        planes = self._chan_planes if hasattr(self, "_chan_planes") else None
+        if tagsrc_stk or tagdev_stk or (
+                planes is not None and any(p.tagged for p in planes)):
+            # host replay per chunk x channel (see StreamExecutor
+            #._run_device): records are (nchunks, nchannels, ...).
+            # Read each stacked record back in ONE transfer, then slice on
+            # the host (per-chunk device slices cost a round-trip each).
+            from grtpu.utils.xfer import to_numpy
+            tagsrc_stk = jax.tree_util.tree_map(to_numpy, tagsrc_stk)
+            tagdev_stk = {name: {k: to_numpy(v) for k, v in rec.items()}
+                          for name, rec in tagdev_stk.items()}
+            for c in range(nchunks):
+                self._advance_mesh_tags(
+                    jax.tree_util.tree_map(lambda a: a[c], tagsrc_stk),
+                    {name: {k: v[c] for k, v in rec.items()}
+                     for name, rec in tagdev_stk.items()})
+        else:
+            self._bump_counters(nchunks)
         outs_accum: List[List] = [[] for _ in self.flat.out_pads]
         sink_accum: Dict[str, List] = {}
         counts_accum: List[Dict[str, np.ndarray]] = []

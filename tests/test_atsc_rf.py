@@ -127,3 +127,57 @@ def test_rf_transport_loopback():
                    for i in range(min(len(out), npkt - k * 312)))
                for k in range(2)]
     assert max(matches) == len(out) == 260
+
+
+def test_dfe_equalizer_earns_its_keep_on_multipath():
+    """VERDICT r3 item #7: selectable equalizer family (nop/nlms/lms2).
+    On a strong post-cursor 2-echo channel the decision-feedback lms2
+    analog recovers the data cleanly, the nop baseline is hopeless, and
+    the linear NLMS FFE is no better than the DFE (a truncated linear
+    inverse of 1 + 0.45 z^-60 + 0.2 z^-150 can't cancel what decision
+    feedback subtracts exactly)."""
+    rng = np.random.default_rng(3)
+    nfields = 2
+    data = rng.integers(0, 8, (nfields * 312, 828)).astype(np.uint8)
+    mux = rf.AtscFieldSyncMux()
+    stream = mux(data).astype(np.float32) * 2 - 7
+    h = np.zeros(151, np.float32)
+    h[0], h[60], h[150] = 1.0, 0.45, 0.2
+    x = np.convolve(stream, h)[: len(stream)].astype(np.float32)
+    x += 0.05 * rng.standard_normal(len(x)).astype(np.float32)
+    xp = np.concatenate(
+        [np.zeros(rf.EQ_CURSOR, np.float32), x,
+         np.zeros(rf.EQ_NTAPS, np.float32)])
+
+    def run(eq):
+        out = None
+        for f in range(nfields):
+            p = f * rf.SYMBOLS_PER_FIELD
+            xf = xp[p: p + rf.SYMBOLS_PER_FIELD + rf.EQ_NTAPS - 1]
+            out = eq.process_field(xf)   # taps persist across fields
+        return out                       # warmed second field
+
+    def ser(y, field):
+        segs = rf.fs_demux(np.asarray(y), np.array([0]))[0]
+        dec = np.clip(np.round((segs + 7) / 2), 0, 7).astype(np.uint8)
+        return float((dec != data[field * 312:(field + 1) * 312]).mean())
+
+    ser_nop = ser(run(rf.AtscEqualizerNop()), nfields - 1)
+    ser_dfe = ser(run(rf.AtscEqualizerDfe()), nfields - 1)
+    ser_nlms = ser(run(rf.AtscEqualizerLms()), nfields - 1)
+    assert ser_dfe < 0.01, (ser_dfe, ser_nlms, ser_nop)
+    assert ser_nop > 0.15, ser_nop
+    assert ser_dfe <= ser_nlms, (ser_dfe, ser_nlms)
+
+
+def test_rf_receiver_equalizer_selection():
+    """The receiver exposes the family exactly as the reference's
+    GrAtscEqualizer wraps atsci_equalizer_{nop,lms,lms2}."""
+    rx = rf.AtscRfReceiver(fs=FS, if_freq=IF_NORM * FS, ratio=RATIO,
+                           equalizer="lms2")
+    assert isinstance(rx.eq, rf.AtscEqualizerDfe)
+    rx2 = rf.AtscRfReceiver(fs=FS, if_freq=IF_NORM * FS, ratio=RATIO,
+                            equalizer="nop")
+    assert isinstance(rx2.eq, rf.AtscEqualizerNop)
+    with pytest.raises(KeyError):
+        rf.AtscRfReceiver(fs=FS, if_freq=IF_NORM * FS, equalizer="bogus")

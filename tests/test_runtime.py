@@ -484,23 +484,36 @@ class TestDeviceLoop:
         got = np.asarray(ex2.run(jnp.asarray(x), device_loop=True))
         np.testing.assert_array_equal(got, ref)
 
-    def test_tags_rejected(self):
+    def test_input_tags_ride_device_loop(self):
+        """Stream tags survive device_loop=True (VERDICT r3 item #3): the
+        host replays the propagation plan per chunk after the single
+        dispatch, so pad_tags match the stepwise path exactly — including
+        offset scaling through a decimating block."""
         import jax.numpy as jnp
-        import pytest
         from grtpu.runtime.graph import Graph
         from grtpu.runtime.block import Port
         from grtpu.runtime.executor import StreamExecutor
         from grtpu.runtime.tags import Tag
-        from grtpu.blocks.stream import Copy
+        from grtpu.blocks.stream import KeepOneInN
 
-        g = Graph()
-        pin = g.add_input(Port(jnp.float32))
-        pout = g.add_output(Port(jnp.float32))
-        g.connect(pin, Copy(dtype=jnp.float32), pout)
-        ex = StreamExecutor(g, chunk_size=256, donate=False)
-        ex.add_tags(0, [Tag(5, "k", 1)])
-        with pytest.raises(ValueError, match="host-plane"):
-            ex.run(np.zeros(512, np.float32), device_loop=True)
+        def build():
+            g = Graph()
+            pin = g.add_input(Port(jnp.float32))
+            pout = g.add_output(Port(jnp.float32))
+            g.connect(pin, KeepOneInN(4, dtype=jnp.float32), pout)
+            return StreamExecutor(g, chunk_size=256, donate=False)
+
+        tags = [Tag(5, "k", 1), Tag(300, "k", 2), Tag(700, "k", 3)]
+        x = np.arange(1024, dtype=np.float32)
+        ex1 = build()
+        ex1.add_tags(0, tags)
+        ref = np.asarray(ex1.run(x))
+        ex2 = build()
+        ex2.add_tags(0, tags)
+        got = np.asarray(ex2.run(x, device_loop=True))
+        np.testing.assert_array_equal(got, ref)
+        assert ex2.pad_tags == ex1.pad_tags
+        assert sorted(t.offset for t in ex2.pad_tags[0]) == [1, 75, 175]
 
 
 class TestDeviceLoopDonate:
