@@ -65,7 +65,7 @@ def main():
     bf16_snr = float(np.asarray(snr_fn(re, im)))
 
     def measure(prec):
-        g1, g4 = make(1, prec), make(4, prec)
+        g1, g4 = make(1, prec), make(65, prec)
         float(np.asarray(g1(re, im)))
         float(np.asarray(g4(re, im)))
         slopes = []
@@ -76,13 +76,13 @@ def main():
             t1 = time.perf_counter()
             float(np.asarray(g4(re, im)))
             t2 = time.perf_counter()
-            s = ((t2 - t1) - (t1 - t0)) / 3
+            s = ((t2 - t1) - (t1 - t0)) / 64
             if s > 0:
                 slopes.append(s)
-            fallback = (t2 - t1) / 3
+            fallback = (t2 - t1) / 64
         # all-jitter rounds (wedgy tunnel): fall back to the amortized
         # m-big time so the bench still prints its JSON line
-        return min(slopes) if slopes else fallback
+        return float(np.median(slopes)) if slopes else fallback
 
     per_b = measure("bf16")
     print(json.dumps({

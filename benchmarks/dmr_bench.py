@@ -51,7 +51,7 @@ def main():
 
         return g
 
-    g1, g5 = make(1), make(5)
+    g1, g5 = make(1), make(33)
     float(np.asarray(g1(re, im)))
     float(np.asarray(g5(re, im)))
     slopes = []
@@ -61,13 +61,13 @@ def main():
         t1 = time.perf_counter()
         float(np.asarray(g5(re, im)))
         t2 = time.perf_counter()
-        s = ((t2 - t1) - (t1 - t0)) / 4
+        s = ((t2 - t1) - (t1 - t0)) / 32
         if s > 0:
             slopes.append(s)
-        fallback = (t2 - t1) / 4
+        fallback = (t2 - t1) / 32
     # all-jitter rounds (wedgy tunnel): fall back to the amortized m-big
     # time so the bench still prints its JSON line
-    per = min(slopes) if slopes else fallback
+    per = float(np.median(slopes)) if slopes else fallback
     msps = C * N / per / 1e6
     print(json.dumps({
         "metric": "dmr_burst_bank_128ch_aggregate",

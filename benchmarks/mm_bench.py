@@ -108,11 +108,11 @@ def main():
             return jax.lax.fori_loop(0, m, body, jnp.float32(0))
         return lambda _x, m: g(xf, m)
 
-    per_w = bench(make_windowed)
+    per_w = bench(make_windowed, ms=(1, 9))
     win_msps = C * T / per_w / 1e6
     per_l = bench(make_loop)
     loop_msps = C * T / per_l / 1e6
-    per_f = bench(make_windowed_frac)
+    per_f = bench(make_windowed_frac, ms=(1, 9))
     frac_msps = C * (T - T % 10) / per_f / 1e6
 
     print(json.dumps({

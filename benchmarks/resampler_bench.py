@@ -57,7 +57,7 @@ def main():
             return g
 
         slopes = []
-        g1, gb = make(1), make(9)
+        g1, gb = make(1), make(33)
         float(np.asarray(g1(re, im, 0.0)))
         float(np.asarray(gb(re, im, 0.0)))
         for _ in range(4):
@@ -66,7 +66,7 @@ def main():
             t1 = time.perf_counter()
             float(np.asarray(gb(re, im, 0.0)))
             t2 = time.perf_counter()
-            s = ((t2 - t1) - (t1 - t0)) / 8
+            s = ((t2 - t1) - (t1 - t0)) / 32
             if s > 0:
                 slopes.append(s)
         per = float(np.median(slopes))

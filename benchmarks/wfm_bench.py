@@ -149,7 +149,9 @@ def main():
 
             return g
 
-        x = re[:, : N + K]          # (64, N+K) f32 — the chain's FIR input
+        # (64, N+K-1) f32 — K-1 halo + N fresh (N % decim == 0), the same
+        # shape the chain's FIR sees
+        x = re[:, : N + K - 1]
         out = {}
         for impl in ("xla", "pallas"):
             g = make(impl)

@@ -438,36 +438,59 @@ class OfdmReceiver(Block):
         met_idx = jnp.arange(met_all.shape[0])
         met_all = jnp.where(met_idx < lim, met_all, 0.0)
         pts = jnp.asarray(m.qpsk)
+        nm = met_all.shape[0]
+        # Suffix max + first-index-of-max, ONCE per chunk (log-depth
+        # associative scan).  The per-symbol acquire used to reduce the
+        # whole metric array three times per scan iteration — O(n) work
+        # and several dispatch-latency-bound ops inside the hot scan; now
+        # acquisition reads two gathers + one fused comparison pass.
+        def _comb(a, b):
+            # a = left segment, b = right; leftmost max wins ties (the
+            # argmax-first convention the plateau search relies on)
+            take_a = a[0] >= b[0]
+            return (jnp.where(take_a, a[0], b[0]),
+                    jnp.where(take_a, a[1], b[1]))
+
+        suffmax, suffarg = jax.lax.associative_scan(
+            _comb, (met_all, jnp.arange(nm, dtype=jnp.int32)), reverse=True)
 
         def acquire(c):
-            # plateau search restricted to ground not yet consumed
-            allowed = jnp.where(met_idx > c["anchor"] - sym_len,
-                                met_all, 0.0)
-            mx = jnp.max(allowed)
-            d = jnp.argmax(allowed > 0.9 * mx).astype(jnp.int32)
-            d_pk = jnp.argmax(allowed).astype(jnp.int32)
-            found = ~c["have"] & (mx > self.thresh)
-            cfo = cfo_of(d_pk)
-            xr_known = jax.lax.dynamic_slice_in_dim(
-                x, jnp.clip(d + sym_len + m.cp_len - m.cp_len // 2,
-                            0, n - m.fft_len), m.fft_len)
-            ramp = jnp.exp(-1j * cfo * (
-                d + sym_len + jnp.arange(m.fft_len, dtype=jnp.float32)))
-            F = jnp.fft.fft(xr_known * ramp)
-            chan = F[bins] / known
-            return {
-                "have": c["have"] | found,
-                "anchor": jnp.where(
-                    found, d + 2 * sym_len + m.cp_len - m.cp_len // 2,
-                    c["anchor"]),
-                "cfo": jnp.where(found, cfo, c["cfo"]),
-                "base": c["base"],
-                "chan": jnp.where(found, chan, c["chan"]),
-                "phase": jnp.where(found, 0.0, c["phase"]),
-                "sym_left": jnp.where(found, self.nsym_data,
-                                      c["sym_left"]),
-                "cfo_phase": jnp.where(found, 0.0, c["cfo_phase"]),
-            }
+            def do(c):
+                # plateau search restricted to ground not yet consumed:
+                # met_all[i] for i > anchor - sym_len, i.e. the suffix
+                # starting at s (met is nonnegative, so masked-max ==
+                # suffix-max; s clamps safely because met_all is zeroed
+                # beyond lim)
+                s = jnp.clip(c["anchor"] - sym_len + 1, 0, nm - 1)
+                mx = suffmax[s]
+                d_pk = suffarg[s]
+                d = jnp.argmax((met_idx >= s)
+                               & (met_all > 0.9 * mx)).astype(jnp.int32)
+                found = mx > self.thresh
+                cfo = cfo_of(d_pk)
+                xr_known = jax.lax.dynamic_slice_in_dim(
+                    x, jnp.clip(d + sym_len + m.cp_len - m.cp_len // 2,
+                                0, n - m.fft_len), m.fft_len)
+                ramp = jnp.exp(-1j * cfo * (
+                    d + sym_len + jnp.arange(m.fft_len, dtype=jnp.float32)))
+                F = jnp.fft.fft(xr_known * ramp)
+                chan = F[bins] / known
+                return {
+                    "have": c["have"] | found,
+                    "anchor": jnp.where(
+                        found, d + 2 * sym_len + m.cp_len - m.cp_len // 2,
+                        c["anchor"]),
+                    "cfo": jnp.where(found, cfo, c["cfo"]),
+                    "base": c["base"],
+                    "chan": jnp.where(found, chan, c["chan"]),
+                    "phase": jnp.where(found, 0.0, c["phase"]),
+                    "sym_left": jnp.where(found, self.nsym_data,
+                                          c["sym_left"]),
+                    "cfo_phase": jnp.where(found, 0.0, c["cfo_phase"]),
+                }
+
+            # locked symbols skip the search entirely (most iterations)
+            return jax.lax.cond(c["have"], lambda c: dict(c), do, c)
 
         def emit(carry, i):
             c = acquire(carry)
@@ -500,7 +523,11 @@ class OfdmReceiver(Block):
                    jnp.where(ok, c["chan"], 0).astype(jnp.complex64))
             return upd, (out, ok)
 
-        st2, (outs, oks) = jax.lax.scan(emit, st, jnp.arange(max_out))
+        # unroll: the per-symbol body is ~30 tiny ops (argmax over the
+        # metric, a 64-point FFT, scalar state updates) — iteration
+        # dispatch latency dominates on TPU, not FLOPs
+        st2, (outs, oks) = jax.lax.scan(emit, st, jnp.arange(max_out),
+                                        unroll=4)
         n_valid = oks.sum().astype(jnp.int32)
         # rebase anchor against consumed fresh samples; roll the CFO ramp
         # phase forward so derotation stays continuous across the boundary
@@ -511,6 +538,76 @@ class OfdmReceiver(Block):
         st2["cfo_phase"] = ph - 2 * np.pi * jnp.floor(
             ph / (2 * np.pi) + 0.5)
         return st2, (outs, n_valid)
+
+
+class OfdmPacketModem:
+    """Packet layer over the OFDM burst PHY — the ofdm_mod/ofdm_demod
+    contract (gr-digital/python/ofdm.py:35-305 send_pkt/callback shape,
+    ofdm_packet_utils.py:84-177 framing): each frame carries
+    ``header(2x(whitener_offset<<12 | body_len)) + whiten(payload+crc32)``
+    padded with 0x55 to the frame's bit capacity; the receive side parses
+    the header off the demapped bit stream, dewhitens, and CRC-checks
+    (digital_ofdm_frame_sink.cc:1024-1051 dewhiten + crc path).
+
+    Host-side framing glue (bytes <-> bits): the PHY work — modulate,
+    acquisition, equalization, demapping — runs in the jitted
+    OfdmModem/OfdmReceiver/OfdmFrameSink path this class composes.
+    """
+
+    HDR_BYTES = 4
+
+    def __init__(self, modem: "OfdmModem", nsym_data: int):
+        self.modem = modem
+        self.nsym_data = int(nsym_data)
+        self.frame_bits = self.nsym_data * modem.occupied * modem.bits_per_sym
+        cap = self.frame_bits // 8 - self.HDR_BYTES
+        self.max_payload = cap - 4          # minus crc32
+
+    def make_burst(self, payload: bytes,
+                   whitener_offset: int = 0) -> np.ndarray:
+        """payload -> one OFDM burst (host complex64 samples, preambles
+        included).  Raises if the payload overflows the frame."""
+        from grtpu.digital import packet as pu
+
+        if len(payload) > self.max_payload:
+            raise ValueError(
+                f"payload {len(payload)} B > frame capacity "
+                f"{self.max_payload} B ({self.nsym_data} data symbols)")
+        body = pu.whiten(pu.gen_and_append_crc32(payload), whitener_offset)
+        hdr = pu.make_header(len(body), whitener_offset)
+        pad = self.frame_bits // 8 - self.HDR_BYTES - len(body)
+        bits = pu.bytes_to_bits(hdr + body + b"\x55" * pad)
+        return np.asarray(self.modem.modulate(bits))
+
+    def parse_frames(self, bits: np.ndarray, flags: np.ndarray):
+        """(bits, frame-start flags) from OfdmFrameSink + OfdmReceiver
+        port 1 -> list of (crc_ok, payload_bytes), one per detected frame
+        (the callback argument pair of ofdm_demod)."""
+        from grtpu.digital import packet as pu
+
+        bits = np.asarray(bits).astype(np.uint8)
+        spb = self.modem.occupied * self.modem.bits_per_sym
+        out = []
+        for sym_idx in np.flatnonzero(np.asarray(flags).astype(np.uint8)):
+            start = int(sym_idx) * spb
+            fb = bits[start: start + self.frame_bits]
+            if len(fb) < self.frame_bits:
+                break                        # partial frame at stream end
+            hdr = pu.bits_to_bytes(fb[: 8 * self.HDR_BYTES])
+            parsed = pu.parse_header(hdr)
+            if parsed is None:
+                out.append((False, b""))
+                continue
+            body_len, off = parsed
+            body_bits = fb[8 * self.HDR_BYTES:
+                           8 * (self.HDR_BYTES + body_len)]
+            if len(body_bits) < 8 * body_len:
+                out.append((False, b""))
+                continue
+            body = pu.dewhiten(pu.bits_to_bytes(body_bits), off)
+            ok, msg = pu.check_crc32(body)
+            out.append((ok, msg))
+        return out
 
 
 class OfdmFrameSink(Block):

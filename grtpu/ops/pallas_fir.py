@@ -248,7 +248,7 @@ def fir_cascade(x: jnp.ndarray, taps: np.ndarray, nstages: int,
                                        jnp.float32),
         grid=(b, ntiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
             pl.BlockSpec((1, (nh + 1) * LANE, LANE), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, (nh + 1) * LANE, LANE), lambda i, t: (0, 0, 0),
@@ -476,7 +476,7 @@ def _single_stage(xp, tapsets, tile_rows, interpret, precision, nh):
                                        jnp.float32),
         grid=(b, ntiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, (nh + 1) * LANE, LANE),
                          lambda i, t: (i % g, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -1192,39 +1192,92 @@ class StreamExecutor:
         return paths
 
     # ------------------------------------------------------------------ ckpt
+    def _canonical_leaf_paths(self):
+        """(canonical_path, leaf) per state leaf, in tree_flatten order.
+
+        Block identity in a checkpoint is the TOPOLOGICAL position plus
+        the declared rate signature — never the process-global uid baked
+        into auto-generated block names — so a checkpoint restores into
+        any identically-built flowgraph (fresh process, fresh Graph), not
+        just the executor instance that wrote it.  A structurally
+        different graph (changed block type, decim/interp/history, or
+        wiring) canonicalizes differently and is rejected."""
+        uid2tok, name2tok = {}, {}
+        for i, b in enumerate(self.order):
+            tok = (f"{i}:{type(b).__name__}:"
+                   f"d{b.decim}i{b.interp}h{b.history}")
+            uid2tok[str(b.uid)] = tok
+            name2tok[b.name] = tok
+
+        def canon_edge(k):
+            src, dst = k.split("->")
+            sn, sp = src.rsplit(".", 1)
+            dn, dp = dst.rsplit(".", 1)
+            return (f"{name2tok.get(sn, sn)}.{sp}->"
+                    f"{name2tok.get(dn, dn)}.{dp}")
+
+        out = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                self.state)[0]:
+            parts = []
+            for j, k in enumerate(path):
+                key = getattr(k, "key", None)
+                if key is None:
+                    key = getattr(k, "idx", None)
+                key = str(key)
+                if j == 1 and getattr(path[0], "key", None) == "blocks":
+                    key = uid2tok.get(key, key)
+                elif j == 1 and getattr(path[0], "key", None) == "tails":
+                    key = canon_edge(key)
+                elif j == 1 and getattr(path[0], "key", None) == "fifo":
+                    key = name2tok.get(key, key)
+                parts.append(key)
+            out.append(("/".join(parts), leaf))
+        return out
+
     def save_checkpoint(self, path: str):
         """Persist full flowgraph state (all block states + halo tails +
-        VR FIFOs), with the treedef recorded for load-time validation."""
-        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        VR FIFOs) under canonical topology-relative paths.  Readback
+        routes through xfer.to_numpy — state pytrees carry complex/int/
+        bool leaves, which some transports can't D2H directly."""
+        from grtpu.utils.xfer import to_numpy
+
+        entries = self._canonical_leaf_paths()
+        order = sorted(range(len(entries)), key=lambda i: entries[i][0])
         np.savez(
             path,
-            *[np.asarray(l) for l in leaves],
-            treedef=np.frombuffer(repr(treedef).encode(), dtype=np.uint8),
+            *[to_numpy(entries[i][1]).astype(
+                np.dtype(entries[i][1].dtype)) for i in order],
+            __paths__=np.array([entries[i][0] for i in order]),
         )
 
     def load_checkpoint(self, path: str):
+        from grtpu.utils.xfer import device_array
+
         data = np.load(path, allow_pickle=False)
-        leaves, treedef = jax.tree_util.tree_flatten(self.state)
-        if "treedef" in data:
-            saved = bytes(data["treedef"]).decode()
-            if saved != repr(treedef):
-                raise ValueError(
-                    "checkpoint structure does not match this flowgraph: "
-                    f"saved treedef\n  {saved}\nexecutor treedef\n  "
-                    f"{repr(treedef)}"
-                )
-        nleaves = len([k for k in data.files if k.startswith("arr_")])
-        if nleaves != len(leaves):
+        entries = self._canonical_leaf_paths()
+        order = sorted(range(len(entries)), key=lambda i: entries[i][0])
+        if "__paths__" not in data:
             raise ValueError(
-                f"checkpoint has {nleaves} state leaves, flowgraph has "
-                f"{len(leaves)}"
-            )
-        for i, l in enumerate(leaves):
-            saved = data[f"arr_{i}"]
-            if tuple(saved.shape) != tuple(np.shape(l)):
+                "not a grtpu checkpoint (no __paths__ record)")
+        saved_paths = [str(s) for s in data["__paths__"]]
+        mine = [entries[i][0] for i in order]
+        if saved_paths != mine:
+            extra = sorted(set(saved_paths) - set(mine))
+            missing = sorted(set(mine) - set(saved_paths))
+            raise ValueError(
+                "checkpoint structure does not match this flowgraph: "
+                f"checkpoint-only leaves {extra[:4]}, "
+                f"flowgraph-only leaves {missing[:4]}")
+        for j, i in enumerate(order):
+            saved = data[f"arr_{j}"]
+            want = tuple(np.shape(entries[i][1]))
+            if tuple(saved.shape) != want:
                 raise ValueError(
-                    f"checkpoint leaf {i} shape {saved.shape} != executor "
-                    f"state leaf shape {np.shape(l)}"
-                )
-        new_leaves = [jnp.asarray(data[f"arr_{i}"]) for i in range(len(leaves))]
-        self.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+                    f"checkpoint leaf {mine[j]!r} shape {saved.shape} != "
+                    f"flowgraph state shape {want}")
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        for j, i in enumerate(order):
+            # transport-safe staging (complex restores via f32 planes)
+            leaves[i] = device_array(data[f"arr_{j}"])
+        self.state = jax.tree_util.tree_unflatten(treedef, leaves)

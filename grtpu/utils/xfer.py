@@ -53,9 +53,29 @@ def host_complex(x) -> np.ndarray:
 
 def host_int(x, dtype=np.int32) -> np.ndarray:
     """Device integer array -> host via an f32 readback (exact for
-    |values| < 2^24; use host_int64 pairs beyond that)."""
+    |values| < 2^24; use :func:`host_int32` beyond that)."""
     f = np.asarray(jnp.asarray(x).astype(jnp.float32))
     return f.astype(dtype)
+
+
+@jax.jit
+def _split_i32(x):
+    xi = x.astype(jnp.int32)
+    lo = (xi & 0xFFFF).astype(jnp.float32)
+    hi = ((xi >> 16) & 0xFFFF).astype(jnp.float32)
+    return hi, lo
+
+
+def host_int32(x, dtype=np.int32) -> np.ndarray:
+    """Device 32-bit integer array -> host EXACTLY via two 16-bit f32
+    planes (full int32/uint32 range — absolute sample counters exceed the
+    2^24 single-f32 window after ~16M items)."""
+    hi, lo = _split_i32(jnp.asarray(x))
+    v = ((np.asarray(hi).astype(np.int64) << 16)
+         | np.asarray(lo).astype(np.int64)).astype(np.uint32)
+    if np.dtype(dtype).kind == "i":
+        v = v.view(np.int32)      # two's-complement reinterpretation
+    return v.astype(dtype)
 
 
 def to_numpy(x) -> np.ndarray:
@@ -68,10 +88,18 @@ def to_numpy(x) -> np.ndarray:
     if isinstance(x, np.ndarray):
         return x
     dt = np.dtype(x.dtype)
-    if dt.kind == "c" and jax.default_backend() not in ("cpu", "gpu"):
+    if jax.default_backend() not in ("cpu", "gpu"):
         # route by dtype upfront: a *failed* direct complex D2H attempt
-        # can wedge fragile transports, so don't even try it there
-        return host_complex(x)
+        # can wedge fragile transports, and small-int/bool transfers may
+        # hang rather than raise — don't even try them there
+        if dt.kind == "c":
+            return host_complex(x)
+        if dt.kind == "b":
+            return host_int(x, np.int32).astype(bool)
+        if dt.kind in "iu" and dt.itemsize <= 2:
+            return host_int(x, dt)
+        if dt.kind in "iu" and dt.itemsize == 4:
+            return host_int32(x, dt)
     try:
         return np.asarray(x)
     except Exception:
@@ -106,6 +134,12 @@ def device_array(x) -> jnp.ndarray:
     x = np.asarray(x)
     if x.dtype.kind == "c":
         return device_complex(x)
+    if (x.dtype.kind == "b"
+            and jax.default_backend() not in ("cpu", "gpu")):
+        # bool rides the same unimplemented small-dtype transfer path as
+        # uint8 on fragile transports; widen through f32 (exact)
+        f = jnp.asarray(x.astype(np.float32))
+        return jax.jit(lambda a: a > 0.5)(f)
     if (x.dtype.kind in "iu" and x.dtype.itemsize <= 8
             and jax.default_backend() not in ("cpu", "gpu")):
         try:

@@ -255,6 +255,7 @@ class TestBert:
         assert ber == 0.0
         assert rx.snr() > 25.0  # clean constellation
 
+    @pytest.mark.slow
     def test_noisy_cfo_loopback(self):
         from grtpu.digital.bert import bert_loopback
 
@@ -268,6 +269,7 @@ class TestBert:
         # of the ~sps processing gain; just require a sane positive value)
         assert 5.0 < rx.snr() < 30.0
 
+    @pytest.mark.slow
     def test_ber_counts_errors(self):
         """Flipping channel bits must produce a nonzero BER ~ flips*3/3."""
         import numpy as np
@@ -284,6 +286,7 @@ class TestBert:
 class TestTunnelMac:
     """tunnel.py carrier-sense MAC analog (grtpu/digital/tunnel.py)."""
 
+    @pytest.mark.slow
     def test_two_node_exchange(self):
         import time
         import numpy as np
@@ -352,6 +355,7 @@ class TestTunnelMac:
 
 
 class TestBertApp:
+    @pytest.mark.slow
     def test_digital_bert_cli(self):
         r = subprocess.run(
             [sys.executable, "examples/digital_bert.py", "-n", "8192",

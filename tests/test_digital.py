@@ -320,6 +320,7 @@ class TestGenericModem:
         ber, _ = _best_ber(bits, gm.demodulate(tx), settle=300)
         assert ber < 0.01, ber
 
+    @pytest.mark.slow
     def test_generic_qpsk_cfo_noise(self):
         from grtpu.digital.generic_mod_demod import GenericModem
 
@@ -331,7 +332,8 @@ class TestGenericModem:
                            settle=300)
         assert ber < 0.02, ber
 
-    @pytest.mark.parametrize("sps", [5.3, 2.5])
+    @pytest.mark.parametrize("sps", [
+        pytest.param(5.3, marks=pytest.mark.slow), 2.5])
     def test_generic_qpsk_fractional_sps(self, sps):
         """Fractional samples/symbol — the reference default contract
         (generic_mod_demod.py:94, float sps >= 2): RRC shaping runs as a
@@ -345,6 +347,7 @@ class TestGenericModem:
         ber, _ = _best_ber(bits, gm.demodulate(tx), settle=300)
         assert ber < 0.01, ber
 
+    @pytest.mark.slow
     def test_generic_qpsk_fractional_sps_noise(self):
         from grtpu.digital.generic_mod_demod import GenericModem
 
@@ -439,6 +442,7 @@ class TestWindowedClockRecovery:
         assert n > 1000
         assert np.abs(ref[:n] - got[:n]).max() == 0.0
 
+    @pytest.mark.slow
     def test_chunked_equals_whole_fractional_sps(self):
         """Chunked == whole at fractional sps: chunks advance by whole
         grid periods (symbols per chunk divisible by the rationalized

@@ -392,3 +392,89 @@ class TestStreamingMultiFrame:
         # noise has no lag-32 structure: nothing near threshold anywhere,
         # including the signal->silence boundary
         assert met.max() < 0.5
+
+
+class TestOfdmPacketModem:
+    """Packet layer over the OFDM PHY (ofdm_mod/ofdm_demod +
+    ofdm_packet_utils framing: header + whitened payload+crc32 per frame;
+    the frame sink's dewhiten+CRC path)."""
+
+    def _rx_graph(self, m, nsym):
+        from grtpu.digital.ofdm import OfdmFrameSink, OfdmReceiver
+        from grtpu.runtime.block import Port
+        from grtpu.runtime.executor import StreamExecutor
+        from grtpu.runtime.graph import Graph
+
+        rx = OfdmReceiver(m, nsym_data=nsym, sync_type="pn")
+        g = Graph()
+        pin = g.add_input(Port(jnp.complex64))
+        pb = g.add_output(Port(jnp.uint8))
+        pf = g.add_output(Port(jnp.uint8))
+        pc = g.add_output(Port(jnp.complex64, m.occupied))
+        g.connect(pin, rx)
+        g.connect((rx, 0), OfdmFrameSink(m), pb)
+        g.connect((rx, 1), pf)
+        g.connect((rx, 2), pc)
+        span = (nsym + 2) * (m.fft_len + m.cp_len)
+        # emission block = one frame of data symbols: short packet streams
+        # drain frame-by-frame instead of queueing behind a bigger block
+        return StreamExecutor(g, chunk_size=4 * span,
+                              vr_chunks={rx: nsym})
+
+    def test_loopback_multiple_packets(self):
+        from grtpu.digital.ofdm import OfdmModem, OfdmPacketModem
+
+        m = OfdmModem(fft_len=64, occupied=48)
+        nsym = 8
+        pm = OfdmPacketModem(m, nsym)
+        assert pm.max_payload == (nsym * 48 * 2) // 8 - 8
+        rng = np.random.default_rng(5)
+        payloads = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+                    for n in (11, pm.max_payload, 40)]
+        sigs = []
+        for i, p in enumerate(payloads):
+            burst = pm.make_burst(p, whitener_offset=i % 16)
+            sigs.append(np.concatenate(
+                [np.zeros(150, np.complex64), burst]))
+        stream = np.concatenate(sigs + [np.zeros(1500, np.complex64)])
+        n = len(stream)
+        stream = (stream * np.exp(2j * np.pi * 1.5e-4 * np.arange(n))
+                  ).astype(np.complex64)
+        rng2 = np.random.default_rng(6)
+        p = (np.abs(np.concatenate(sigs)) ** 2).mean()
+        sigma = np.sqrt(p / 10 ** (20.0 / 10) / 2)   # 20 dB SNR
+        stream = (stream + sigma * (rng2.standard_normal(n)
+                                    + 1j * rng2.standard_normal(n))
+                  ).astype(np.complex64)
+
+        ex = self._rx_graph(m, nsym)
+        bits, flags, _ = ex.run(stream)
+        got = pm.parse_frames(np.asarray(bits), np.asarray(flags))
+        assert len(got) == len(payloads)
+        for (ok, msg), want in zip(got, payloads):
+            assert ok and msg == want
+
+    def test_corrupted_frame_fails_crc(self):
+        from grtpu.digital.ofdm import OfdmModem, OfdmPacketModem
+
+        m = OfdmModem(fft_len=64, occupied=48)
+        pm = OfdmPacketModem(m, 8)
+        burst = pm.make_burst(b"hello ofdm packet layer")
+        sym_len = m.fft_len + m.cp_len
+        # smash two data symbols mid-frame (after the 2 preambles)
+        burst[3 * sym_len: 5 * sym_len] = 0.3 + 0.1j
+        stream = np.concatenate(
+            [np.zeros(120, np.complex64), burst,
+             np.zeros(2500, np.complex64)]).astype(np.complex64)
+        ex = self._rx_graph(m, 8)
+        bits, flags, _ = ex.run(stream)
+        got = pm.parse_frames(np.asarray(bits), np.asarray(flags))
+        assert len(got) >= 1
+        assert not got[0][0]
+
+    def test_payload_overflow_raises(self):
+        from grtpu.digital.ofdm import OfdmModem, OfdmPacketModem
+
+        pm = OfdmPacketModem(OfdmModem(), 4)
+        with pytest.raises(ValueError, match="capacity"):
+            pm.make_burst(b"x" * (pm.max_payload + 1))

@@ -289,6 +289,7 @@ class TestWindowedPfbClockSync:
 
 
 class TestWindowedPfbClockSyncFractional:
+    @pytest.mark.slow
     def test_matches_loop_fractional_sps(self):
         """Fractional sps (the reference float contract,
         gr_pfb_clock_sync_ccf.cc): windowed rows on the floor grid track

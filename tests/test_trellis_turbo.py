@@ -254,8 +254,10 @@ class TestParallelTrellis:
 
     ISI = FSM.from_isi(4, 3)   # S = 16, the auto-enable boundary
 
-    @pytest.mark.parametrize("fsm", [FSM4, FSM_INNER, ISI],
-                             ids=["fsm4", "msb", "isi16"])
+    @pytest.mark.parametrize(
+        "fsm", [FSM4, FSM_INNER,
+                pytest.param(ISI, marks=pytest.mark.slow)],
+        ids=["fsm4", "msb", "isi16"])
     def test_viterbi_parallel_equals_sequential(self, fsm):
         from grtpu.trellis.algorithms import viterbi as vit
         rng = np.random.default_rng(7)
@@ -268,8 +270,10 @@ class TestParallelTrellis:
                                    parallel=True))
                 assert (a == b).all(), (T, ss, es)
 
-    @pytest.mark.parametrize("fsm", [FSM4, FSM_INNER, ISI],
-                             ids=["fsm4", "msb", "isi16"])
+    @pytest.mark.parametrize(
+        "fsm", [FSM4, FSM_INNER,
+                pytest.param(ISI, marks=pytest.mark.slow)],
+        ids=["fsm4", "msb", "isi16"])
     @pytest.mark.parametrize("sum_product", [False, True])
     def test_siso_parallel_equals_sequential(self, fsm, sum_product):
         rng = np.random.default_rng(8)
@@ -338,6 +342,7 @@ class TestTurboEqualization:
         bits, dec = self._loopback(25.0, iterations=4)
         assert (dec == bits).all()
 
+    @pytest.mark.slow
     def test_iteration_gain(self):
         errs_1 = errs_6 = total = 0
         for seed in range(4):

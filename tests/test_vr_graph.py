@@ -205,6 +205,7 @@ class TestGenericDemodGraph:
         assert len(got) > 2000
         np.testing.assert_array_equal(got, want[: len(got)])
 
+    @pytest.mark.slow
     def test_graph_ber_matches_hand_fused_modem(self):
         """Same BER as the hand-fused GenericModem on the same waveform:
         both must recover the data exactly after the acquisition settle."""
