@@ -53,6 +53,8 @@ LABELS = {
         "Viterbi single-packet latency (parallel scan)",
     "sccc_turbo_decode_8it": "SCCC turbo decode, 8 iterations (B=1024)",
     "ofdm_streaming_receiver": "OFDM streaming receiver (VR chain)",
+    "ofdm_streaming_receiver_bank_64ch":
+        "OFDM streaming receiver bank, 64-ch aggregate",
     "executor_host_overhead_no_tags":
         "Executor host overhead (20 blocks, no tags)",
     "executor_host_overhead_tags_in_flight":
@@ -123,7 +125,7 @@ def table(chains, synth, synth_name):
         rows.append(f"| _failed this round_ | {', '.join(names)} | |")
     best = (chains.get("canary") or {}).get("best_tflops")
     if best:
-        rows.append(f"| _tunnel-health canary (1024^3 f32 matmul)_ | "
+        rows.append(f"| _tunnel-health canary (2048^3 f32 matmul)_ | "
                     f"{best} TFLOPS best | `BENCH_CHAINS.json` |")
     return "\n".join(rows)
 

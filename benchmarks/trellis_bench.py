@@ -69,7 +69,10 @@ def main():
             return jax.lax.fori_loop(0, m, body, jnp.float32(0))
         return g
 
-    per = slope_time(lambda m: make_vit(m, False, m_vit), (m_vit,))
+    # 33-iteration span: the ms=(1,5) slope swung 2x between rounds
+    # on tunnel RTT jitter (1870 vs 3556 Msym/s recorded)
+    per = slope_time(lambda m: make_vit(m, False, m_vit), (m_vit,),
+                     ms=(1, 33))
     vit_msps = B * K / per / 1e6
 
     m_one = m_vit[:1]
