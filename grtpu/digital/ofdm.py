@@ -375,8 +375,16 @@ class OfdmReceiver(Block):
     def nominal_rate(self):
         return 1.0 / self.sym_len
 
+    def _frame_iters(self, n_delivered: int) -> int:
+        """Frame-scan iterations per chunk: at most n//span complete
+        frames fit in n delivered samples (each consumes a full frame
+        span of anchor travel), plus a resumed partial frame, a newly
+        started partial frame, and one slack iteration."""
+        span = (self.nsym_data + 2) * self.sym_len
+        return n_delivered // span + 3
+
     def max_out_for(self, n_delivered: int) -> int:
-        return n_delivered // self.sym_len + 1
+        return self._frame_iters(n_delivered) * self.nsym_data
 
     def init_state(self):
         occ = self.modem.occupied
@@ -492,43 +500,75 @@ class OfdmReceiver(Block):
             # locked symbols skip the search entirely (most iterations)
             return jax.lax.cond(c["have"], lambda c: dict(c), do, c)
 
-        def emit(carry, i):
+        # Frame-batched emission (the per-symbol scan was latency-bound:
+        # ~25 tiny sequential VPU ops per symbol, invariant to unroll).
+        # One scan iteration per FRAME: acquisition once, all nsym_data
+        # candidate symbol windows sliced in one dynamic_slice + reshape
+        # (window stride == sym_len > fft_len), ONE batched FFT, batched
+        # equalization — only the decision-directed phase tracking stays
+        # sequential (an unrolled nsym-step loop of (occ,)-vector ops).
+        nsym = self.nsym_data
+        n_frames = self._frame_iters(n)
+        krow = jnp.arange(nsym, dtype=jnp.int32)
+        fidx = jnp.arange(m.fft_len, dtype=jnp.float32)
+        xp = jnp.concatenate(
+            [x, jnp.zeros(nsym * sym_len, x.dtype)])
+
+        def frame_step(carry, i):
             c = acquire(carry)
-            ok = c["have"] & (c["anchor"] + m.fft_len <= n) & \
-                (c["sym_left"] > 0)
-            a = jnp.clip(c["anchor"], 0, n - m.fft_len)
-            win = jax.lax.dynamic_slice_in_dim(x, a, m.fft_len)
-            ramp = jnp.exp(-1j * (c["cfo_phase"] + c["cfo"] * (
-                a.astype(jnp.float32) + jnp.arange(m.fft_len,
-                                                   dtype=jnp.float32))))
-            F = jnp.fft.fft(win * ramp)
-            eq = F[bins] / jnp.where(jnp.abs(c["chan"]) > 1e-9, c["chan"],
-                                     1.0)
-            # decision-directed common-phase tracking (residual CFO)
-            r = eq * jnp.exp(-1j * c["phase"])
-            dec = jnp.argmin(jnp.abs(r[:, None] - pts[None, :]) ** 2, axis=1)
-            err = jnp.angle(jnp.sum(r * jnp.conj(pts[dec])))
-            r = r * jnp.exp(-1j * err)
-            first = c["sym_left"] == self.nsym_data
+            active = (c["have"] & (krow < c["sym_left"])
+                      & (c["anchor"] + krow * sym_len + m.fft_len <= n))
+            a0 = jnp.clip(c["anchor"], 0, n)
+            wins = jax.lax.dynamic_slice_in_dim(
+                xp, a0, nsym * sym_len).reshape(nsym, sym_len)[:, :m.fft_len]
+            pos = (a0.astype(jnp.float32)
+                   + (krow * sym_len)[:, None].astype(jnp.float32)
+                   + fidx[None, :])
+            ramp = jnp.exp(-1j * (c["cfo_phase"] + c["cfo"] * pos))
+            Fv = jnp.fft.fft(wins * ramp, axis=-1)
+            eq = Fv[:, bins] / jnp.where(jnp.abs(c["chan"]) > 1e-9,
+                                         c["chan"], 1.0)[None, :]
+            # sequential common-phase tracking, masked per row (identical
+            # update order to the old per-symbol scan)
+            phase = c["phase"]
+            rs = []
+            for kk in range(nsym):
+                r = eq[kk] * jnp.exp(-1j * phase)
+                dec = jnp.argmin(jnp.abs(r[:, None] - pts[None, :]) ** 2,
+                                 axis=1)
+                err = jnp.angle(jnp.sum(r * jnp.conj(pts[dec])))
+                rs.append(r * jnp.exp(-1j * err))
+                phase = jnp.where(active[kk], phase + err, phase)
+            r_all = jnp.stack(rs)                       # (nsym, occ)
+            e = jnp.sum(active).astype(jnp.int32)
+            first = c["sym_left"] == nsym
             upd = {
                 **c,
-                "anchor": jnp.where(ok, c["anchor"] + sym_len, c["anchor"]),
-                "phase": jnp.where(ok, c["phase"] + err, c["phase"]),
-                "sym_left": jnp.where(ok, c["sym_left"] - 1, c["sym_left"]),
+                "anchor": c["anchor"] + e * sym_len,
+                "phase": phase,
+                "sym_left": c["sym_left"] - e,
             }
-            upd["have"] = jnp.where(ok & (upd["sym_left"] == 0),
-                                    jnp.zeros((), jnp.bool_), upd["have"])
-            out = (jnp.where(ok, r, 0).astype(jnp.complex64),
-                   (ok & first).astype(jnp.uint8),
-                   jnp.where(ok, c["chan"], 0).astype(jnp.complex64))
-            return upd, (out, ok)
+            upd["have"] = jnp.where(c["have"] & (upd["sym_left"] == 0),
+                                    jnp.zeros((), jnp.bool_), c["have"])
+            out = (jnp.where(active[:, None], r_all, 0)
+                   .astype(jnp.complex64),
+                   (active & (krow == 0) & first).astype(jnp.uint8),
+                   jnp.where(active[:, None], c["chan"][None, :], 0)
+                   .astype(jnp.complex64))
+            return upd, (out, active)
 
-        # unroll: the per-symbol body is ~30 tiny ops (argmax over the
-        # metric, a 64-point FFT, scalar state updates) — iteration
-        # dispatch latency dominates on TPU, not FLOPs
-        st2, (outs, oks) = jax.lax.scan(emit, st, jnp.arange(max_out),
-                                        unroll=4)
-        n_valid = oks.sum().astype(jnp.int32)
+        st2, (outs, actives) = jax.lax.scan(frame_step, st,
+                                            jnp.arange(n_frames))
+        # flatten frame tiles and compact the valid rows to a contiguous
+        # prefix (a resumed partial frame fills only part of its tile, so
+        # tile-local prefixes are not a global prefix): stable argsort on
+        # the inactive flag is an order-preserving permutation, gathered
+        # once per chunk over ~max_out rows — not inside any scan
+        actives = actives.reshape(-1)
+        order = jnp.argsort(~actives, stable=True)
+        outs = tuple(
+            o.reshape((max_out,) + o.shape[2:])[order] for o in outs)
+        n_valid = actives.sum().astype(jnp.int32)
         # rebase anchor against consumed fresh samples; roll the CFO ramp
         # phase forward so derotation stays continuous across the boundary
         chunk_len = n - (self.history - 1)
