@@ -133,7 +133,9 @@ def main():
         s = ((t2 - t1) - (t1 - t0)) / 32
         if s > 0:
             vals.append(s)
-    per = float(np.median(vals))
+        fallback = (t2 - t1) / 33
+    # all-jitter rounds (wedgy tunnel): amortized m-big fallback
+    per = float(np.median(vals)) if vals else fallback
     msps = chunk / per / 1e6
 
     print(json.dumps({
@@ -180,7 +182,8 @@ def main():
         s = ((t2 - t1) - (t1 - t0)) / 16
         if s > 0:
             vals.append(s)
-    per_b = float(np.median(vals))
+        fallback = (t2 - t1) / 17
+    per_b = float(np.median(vals)) if vals else fallback
     print(json.dumps({
         "metric": "ofdm_streaming_receiver_bank_64ch",
         "value": round(C * chunk / per_b / 1e6, 2),

@@ -59,6 +59,11 @@ def host_int(x, dtype=np.int32) -> np.ndarray:
 
 
 @jax.jit
+def _to_bool(f):
+    return f > 0.5
+
+
+@jax.jit
 def _split_i32(x):
     xi = x.astype(jnp.int32)
     lo = (xi & 0xFFFF).astype(jnp.float32)
@@ -138,8 +143,7 @@ def device_array(x) -> jnp.ndarray:
             and jax.default_backend() not in ("cpu", "gpu")):
         # bool rides the same unimplemented small-dtype transfer path as
         # uint8 on fragile transports; widen through f32 (exact)
-        f = jnp.asarray(x.astype(np.float32))
-        return jax.jit(lambda a: a > 0.5)(f)
+        return _to_bool(jnp.asarray(x.astype(np.float32)))
     if (x.dtype.kind in "iu" and x.dtype.itemsize <= 8
             and jax.default_backend() not in ("cpu", "gpu")):
         try:

@@ -463,3 +463,48 @@ class TestTagsEveryExecutionMode:
         assert [t.offset for t in mex.pad_tags_chan(0, 1)] == [25]
         assert mex.pad_tags_chan(0, 0)[0].key == "a"
         assert mex.pad_tags_chan(0, 1)[0].key == "b"
+
+    def test_tags_cross_vr_boundary_device_loop(self):
+        """Emitted tags upstream of a variable-rate block survive
+        device_loop: offsets scale by the VR block's nominal rate (the
+        reference's set_relative_rate approximation) identically in
+        step() and one-dispatch mode."""
+        import jax.numpy as jnp
+        from grtpu import Graph, StreamExecutor
+        from grtpu.runtime.block import Port
+        from grtpu.blocks.gengen import VectorSink
+        from grtpu.blocks.misc import BurstTagger
+        from grtpu.digital.blocks import ClockRecoveryMMCC
+
+        sps = 4
+        n = 1024
+        r = np.random.default_rng(2)
+        syms = r.choice([-1.0, 1.0], size=n // sps + 8)
+        sig = np.repeat(syms, sps)[:n].astype(np.complex64)
+        mag = np.zeros(n, np.float32)
+        mag[100:400] = 1.0
+
+        def build():
+            g = Graph()
+            ps = g.add_input(Port(jnp.complex64))
+            pm = g.add_input(Port(jnp.float32))
+            bt = BurstTagger(threshold=0.5)
+            clk = ClockRecoveryMMCC(sps, 0.25e-4, 0.5, 0.01)
+            s = VectorSink(dtype=jnp.complex64, name="vsink")
+            g.connect(ps, (bt, 0))
+            g.connect(pm, (bt, 1))
+            g.connect(bt, clk, s)
+            return StreamExecutor(g, chunk_size=256, donate=False), s
+
+        ex1, s1 = build()
+        ex1.run(sig, mag)
+        ex2, s2 = build()
+        ex2.run(sig, mag, device_loop=True)
+        t1 = sorted((t.offset, t.key, t.value)
+                    for t in ex1.sink_tags.get(s1.name, []))
+        t2 = sorted((t.offset, t.key, t.value)
+                    for t in ex2.sink_tags.get(s2.name, []))
+        assert t1 == t2 and len(t1) == 2
+        # offsets landed in symbol coordinates (~1/sps of the input offs)
+        offs = [o for o, _k, _v in t1]
+        assert 100 // sps - 2 <= offs[0] <= 100 // sps + 2
