@@ -53,6 +53,44 @@ class SquareAccumFF(Block):
         return acc[-1], acc
 
 
+class ThresholdTagFF(Block):
+    """A tag-EMITTING block: passthrough that tags every upward crossing
+    of a threshold (the add_item_tag idiom, gr_burst_tagger-style).
+
+    ``device_tags``: detection runs in-jit — apply_tagged returns a small
+    statically-shaped record (chunk-relative offsets, -1 padded) and
+    tags_from_device turns it into Tag objects on the host.  This form
+    works under step(), run(device_loop=True) and MeshExecutor alike.
+    """
+
+    emits_tags = True
+    device_tags = True
+
+    def __init__(self, threshold: float = 1.0, name=None):
+        self.in_ports = (Port(jnp.float32),)
+        self.out_ports = (Port(jnp.float32),)
+        super().__init__(name)
+        self.threshold = threshold
+
+    def init_state(self):
+        return jnp.zeros((), jnp.bool_)          # previous "above" flag
+
+    def apply(self, state, x):
+        return (x[-1] > self.threshold), x
+
+    def apply_tagged(self, state, x):
+        above = x > self.threshold
+        prev = jnp.concatenate([state[None], above[:-1]])
+        offs, _ = self._tag_topk(above & ~prev, x.shape[0])
+        return above[-1], x, {"offset": offs}
+
+    def tags_from_device(self, rec, start_in, start_out):
+        from grtpu.runtime.tags import Tag
+
+        return [Tag(start_out + int(o), "rising", True, self.name)
+                for o in rec["offset"] if o >= 0]
+
+
 def qa_square_ff():
     """The template's qa_howto.py, in three lines."""
     src = np.array([-3, 4, -5.5, 2, 3], np.float32)
@@ -68,6 +106,23 @@ def qa_square_accum_ff():
     print("qa_square_accum_ff: OK", out)
 
 
+def qa_threshold_tag_ff():
+    from grtpu import Graph, StreamExecutor
+    from grtpu.blocks.gengen import VectorSink
+
+    src = np.array([0, 2, 0, 0, 3, 3, 0, 2], np.float32)
+    g = Graph()
+    pin = g.add_input(Port(jnp.float32))
+    s = VectorSink(dtype=jnp.float32)
+    g.connect(pin, ThresholdTagFF(1.0), s)
+    ex = StreamExecutor(g, chunk_size=4)     # crossings span chunks
+    ex.run(src)
+    offs = sorted(t.offset for t in ex.sink_tags[s.name])
+    assert offs == [1, 4, 7], offs
+    print("qa_threshold_tag_ff: OK", offs)
+
+
 if __name__ == "__main__":
     qa_square_ff()
     qa_square_accum_ff()
+    qa_threshold_tag_ff()
