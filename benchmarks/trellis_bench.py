@@ -27,15 +27,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def slope_time(make, args, ms=(1, 5), reps=3):
-    times = {}
-    for m in ms:
-        g = make(m)
+    """Median of PAIRED slope rounds: timing the two loop counts
+    back-to-back per round keeps each slope sample under the same tunnel
+    conditions (unpaired means let one jittered round skew the whole
+    difference — Viterbi recorded 1.0-1.4 Gsym/s swings)."""
+    g1, gb = make(ms[0]), make(ms[1])
+    for g in (g1, gb):
         float(np.asarray(g(*args)))          # compile + warm
+    slopes, fallback = [], None
+    for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            float(np.asarray(g(*args)))
-        times[m] = (time.perf_counter() - t0) / reps
-    return (times[ms[1]] - times[ms[0]]) / (ms[1] - ms[0])
+        float(np.asarray(g1(*args)))
+        t1 = time.perf_counter()
+        float(np.asarray(gb(*args)))
+        t2 = time.perf_counter()
+        s = ((t2 - t1) - (t1 - t0)) / (ms[1] - ms[0])
+        if s > 0:
+            slopes.append(s)
+        fallback = (t2 - t1) / ms[1]
+    return float(np.median(slopes)) if slopes else fallback
 
 
 def main():
