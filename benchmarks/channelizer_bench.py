@@ -40,12 +40,13 @@ def main():
     re = jnp.asarray(r.randn(n + hist).astype(np.float32))
     im = jnp.asarray(r.randn(n + hist).astype(np.float32))
 
-    def make(m, prec):
+    def make(m, prec, oversample=1):
         @jax.jit
         def g(re, im):
             def body(i, carry):
                 x = (re + carry * 1e-20 + 1j * im).astype(jnp.complex64)
-                y = channelize(x, proto, N, precision=prec)
+                y = channelize(x, proto, N, oversample=oversample,
+                               precision=prec)
                 return jnp.sum(jnp.abs(y[-1]) ** 2)
 
             return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
@@ -64,8 +65,8 @@ def main():
                                 / jnp.maximum(jnp.sum(err), 1e-30))
     bf16_snr = float(np.asarray(snr_fn(re, im)))
 
-    def measure(prec):
-        g1, g4 = make(1, prec), make(65, prec)
+    def measure(prec, oversample=1):
+        g1, g4 = make(1, prec, oversample), make(65, prec, oversample)
         float(np.asarray(g1(re, im)))
         float(np.asarray(g4(re, im)))
         slopes = []
@@ -98,6 +99,15 @@ def main():
         "value": round(msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / 145.0, 3),  # ~reference host FIR rate
+    }))
+    # oversampled mode (per-channel rate 2*fs/N — the reference's
+    # oversample-by-os commutator twist, gr_pfb_channelizer_ccf.cc:44-200)
+    per_os = measure("bf16x3", oversample=2)
+    print(json.dumps({
+        "metric": "pfb_channelizer_64ch_os2_input_rate",
+        "value": round(n / per_os / 1e6, 1),
+        "unit": "Msamples/s",
+        "oversample": 2,
     }))
 
 

@@ -36,6 +36,8 @@ LABELS = {
         "PFB channelizer 64-ch input rate (bf16x3)",
     "pfb_channelizer_64ch_input_rate_bf16":
         "PFB channelizer 64-ch input rate (single-pass bf16)",
+    "pfb_channelizer_64ch_os2_input_rate":
+        "PFB channelizer 64-ch, 2x-oversampled outputs (bf16x3)",
     "dmr_burst_bank_128ch_aggregate":
         "DMR 4FSK burst bank, 128-ch aggregate",
     "mm_clock_recovery_windowed":
