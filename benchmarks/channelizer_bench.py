@@ -109,6 +109,16 @@ def main():
         "unit": "Msamples/s",
         "oversample": 2,
     }))
+    # os=2 produces 2x the output rows, so par is half the critically-
+    # sampled rate per precision mode; the single-shift loop recorded 468
+    # Msps at (silent) HIGHEST, the concat-folded matmul reaches par
+    per_osb = measure("bf16", oversample=2)
+    print(json.dumps({
+        "metric": "pfb_channelizer_64ch_os2_input_rate_bf16",
+        "value": round(n / per_osb / 1e6, 1),
+        "unit": "Msamples/s",
+        "oversample": 2,
+    }))
 
 
 if __name__ == "__main__":

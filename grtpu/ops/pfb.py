@@ -75,6 +75,36 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
     hist = kp * N
     n = x.shape[0] - hist
     T = (n // N) * os_
+
+    def cmm(a, m):
+        # precision-aware complex matmul built from real MXU contractions
+        if precision in ("bf16x3", "bf16"):
+            def rmm(p, q):
+                ph = p.astype(jnp.bfloat16)
+                qh = q.astype(jnp.bfloat16)
+
+                def mm(u, v):
+                    return jax.lax.dot_general(
+                        u, v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                if precision == "bf16":
+                    # single pass (~48-50 dB): for chains whose demods
+                    # lock far below that, at ~1.5x the 3-pass rate
+                    return mm(ph, qh)
+                pl = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+                ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+                return mm(ph, qh) + mm(ph, ql) + mm(pl, qh)
+        else:
+            def rmm(p, q):
+                return jnp.dot(p, q, preferred_element_type=jnp.float32,
+                               precision=_HI)
+        if jnp.iscomplexobj(a):
+            rr = rmm(a.real, m.real) - rmm(a.imag, m.imag)
+            ii = rmm(a.real, m.imag) + rmm(a.imag, m.real)
+            return rr + 1j * ii
+        return rmm(a, m.real) + 1j * rmm(a, m.imag)
+
     # v[b,t] = sum_j bank[b,j] x[hist + t*step - j*N - b]
     # (the commutator advances `step` inputs per output row; the branch FIR
     # strides N regardless of oversampling)
@@ -96,34 +126,6 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
         Ms = [jnp.asarray((bank[:, j][:, None] * dft).astype(np.complex64))
               for j in range(kp)]
 
-        def cmm(a, m):
-            if precision in ("bf16x3", "bf16"):
-                def rmm(p, q):
-                    ph = p.astype(jnp.bfloat16)
-                    qh = q.astype(jnp.bfloat16)
-
-                    def mm(u, v):
-                        return jax.lax.dot_general(
-                            u, v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-
-                    if precision == "bf16":
-                        # single pass (~48-50 dB): for chains whose demods
-                        # lock far below that, at ~1.5x the 3-pass rate
-                        return mm(ph, qh)
-                    pl = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
-                    ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
-                    return mm(ph, qh) + mm(ph, ql) + mm(pl, qh)
-            else:
-                def rmm(p, q):
-                    return jnp.dot(p, q, preferred_element_type=jnp.float32,
-                                   precision=_HI)
-            if jnp.iscomplexobj(a):
-                rr = rmm(a.real, m.real) - rmm(a.imag, m.imag)
-                ii = rmm(a.real, m.imag) + rmm(a.imag, m.real)
-                return rr + 1j * ii
-            return rmm(a, m.real) + 1j * rmm(a, m.imag)
-
         acc = None
         for j in range(kp):
             a = jax.lax.dynamic_slice_in_dim(P, kp - 1 - j, T)
@@ -137,8 +139,13 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
     # step = N/os commutator.  Write branch b = q*step + s; then
     # v[b, t] needs x[hist + (t - j*os - q)*step - s], i.e. a row-shifted
     # slice (shift g = j*os + q in [0, kp*os)) of the column-permuted
-    # step-wide reshape, and the branch FIR + IDFT + per-branch weights
-    # fold into kp*os complex (T,step)@(step,N) matmuls.
+    # step-wide reshape.  Each shift contributes a (T,step)@(step,N)
+    # product; `step` is below the 128-lane MXU tile, so instead of
+    # kp*os starved matmuls we CONCATENATE the shifted windows along the
+    # contraction axis and the stacked per-shift weight matrices along
+    # rows: ONE (T, G*step)@(G*step, N) matmul carries the whole branch
+    # FIR + IDFT + per-branch weighting (same fold as the critically-
+    # sampled path; ~7x on 1x v5e vs the per-shift loop at HIGHEST).
     G = kp * os_
     rows = T + G
     X3 = jax.lax.dynamic_slice_in_dim(x, 0, rows * step).reshape(rows, step)
@@ -147,28 +154,19 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
     mask0 = jnp.asarray(np.arange(step) == 0)
     dft = np.exp(2j * np.pi * np.outer(np.arange(N), np.arange(N)) / N)
 
-    def cmm(a, m):
-        def rmm(p, q):
-            return jnp.dot(p, q, preferred_element_type=jnp.float32,
-                           precision=_HI)
-        if jnp.iscomplexobj(a):
-            rr = rmm(a.real, m.real) - rmm(a.imag, m.imag)
-            ii = rmm(a.real, m.imag) + rmm(a.imag, m.real)
-            return rr + 1j * ii
-        return rmm(a, m.real) + 1j * rmm(a, m.imag)
-
-    acc = None
+    blocks, mats = [], []
     for j in range(kp):
         for q in range(os_):
             g = j * os_ + q
             b_rows = q * step + np.arange(step)          # branches in slice
-            M = (bank[b_rows, j][:, None]
-                 * dft[b_rows, :]).astype(np.complex64)  # (step, N)
+            mats.append((bank[b_rows, j][:, None]
+                         * dft[b_rows, :]).astype(np.complex64))  # (step, N)
             a = jax.lax.dynamic_slice_in_dim(P, G - 1 - g, T)
             a0 = jax.lax.dynamic_slice_in_dim(P, G - g, T)
-            blk = jnp.where(mask0[None, :], a0, a)
-            term = cmm(blk, jnp.asarray(M))
-            acc = term if acc is None else acc + term
+            blocks.append(jnp.where(mask0[None, :], a0, a))
+    W = jnp.concatenate(blocks, axis=1)                  # (T, G*step)
+    M_all = jnp.asarray(np.concatenate(mats, axis=0))    # (G*step, N)
+    acc = cmm(W, M_all)
     # channel c's downconversion phase at output t is -2pi c (t*step)/N =
     # -2pi (t c)/os — periodic in (t c) mod os, so reduce BEFORE the float
     # multiply (t*c overflows f32 integer range past 2^24 samples)

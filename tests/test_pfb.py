@@ -122,6 +122,41 @@ class TestOversampledChannelizer:
         # output rate is 2*fs/N -> tone appears at delta/2
         assert abs(dphi - delta / 2) < 2e-3, (dphi, delta / 2)
 
+    def test_even_rows_match_critical(self):
+        """os=2 rows at even t hit the same commutator positions as the
+        critically-sampled bank (twiddle = 1 there), so y_os2[::2] must
+        equal channelize(..., oversample=1) to matmul precision."""
+        N = 16
+        proto = design_channelizer_taps(N, 8)
+        kp = -(-len(proto) // N)
+        n = 2048
+        rng = np.random.RandomState(7)
+        x = (rng.randn(n + kp * N) + 1j * rng.randn(n + kp * N)).astype(
+            np.complex64)
+        y1 = np.asarray(channelize(jnp.asarray(x), proto, N))
+        y2 = np.asarray(channelize(jnp.asarray(x), proto, N, oversample=2))
+        assert y2.shape == (2 * (n // N), N)
+        np.testing.assert_allclose(y2[::2], y1, rtol=0, atol=2e-5)
+
+    def test_bf16_modes_close(self):
+        """Oversampled path honors the precision arg: bf16x3 ~exact,
+        single-pass bf16 within its documented ~48 dB envelope."""
+        N = 16
+        proto = design_channelizer_taps(N, 8)
+        kp = -(-len(proto) // N)
+        n = 2048
+        rng = np.random.RandomState(3)
+        x = (rng.randn(n + kp * N) + 1j * rng.randn(n + kp * N)).astype(
+            np.complex64)
+        ref = np.asarray(channelize(jnp.asarray(x), proto, N, oversample=2))
+        scale = np.abs(ref).mean()
+        y3 = np.asarray(channelize(jnp.asarray(x), proto, N, oversample=2,
+                                   precision="bf16x3"))
+        assert np.abs(y3 - ref).max() / scale < 1e-4
+        y1 = np.asarray(channelize(jnp.asarray(x), proto, N, oversample=2,
+                                   precision="bf16"))
+        assert np.abs(y1 - ref).max() / scale < 0.05
+
 
 class TestArbResampler:
     @pytest.mark.parametrize("rate", [Fraction(3, 2), Fraction(2, 3),
