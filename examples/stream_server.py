@@ -25,7 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def serve(in_port: int, out_host: str, out_port: int,
           quad_rate: float = 256e3, audio_decim: int = 8,
-          chunk: int = 8192, in_host: str = "", native: bool = True):
+          chunk: int = 8192, in_host: str = "", native: bool = True,
+          on_ready=None):
+    """Run the service until a zero-length datagram arrives.
+
+    ``on_ready`` (optional) is called once the input socket is bound —
+    in-process embedders (tests, supervisors) should wait on it before
+    transmitting instead of sleeping: graph build + executor init happen
+    first, and datagrams sent before the bind are silently lost."""
     import jax.numpy as jnp
 
     from grtpu import Graph, StreamExecutor
@@ -46,6 +53,8 @@ def serve(in_port: int, out_host: str, out_port: int,
         src = udp.UdpSource(in_host or "0.0.0.0", in_port, np.complex64,
                             timeout=5.0)
     snk = udp.UdpSink(out_host, out_port, np.float32)
+    if on_ready is not None:
+        on_ready()
     n_in = n_out = 0
     try:
         for audio in ex.stream(src.chunks(chunk)):

@@ -380,9 +380,10 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
 
         # forward and backward recursions are independent, so ONE scan
         # advances alpha at step t and beta at step K-1-t — half the
-        # sequential depth of two separate scans (scans are latency-bound
-        # on TPU: per-step work here is tiny, ~2x measured on the SCCC
-        # turbo chain at B=1024)
+        # sequential depth of two separate scans.  Helps latency-bound
+        # small-batch decodes; the B=1024 SCCC chain is dominated by the
+        # batched posterior tensors and gained only ~4% (BENCH_CHAINS
+        # sccc_turbo_decode_8it 23.8 -> 24.8 Msym/s)
         def both(carry, inp):
             a, b = carry
             (pri_f, pro_f), (pri_b, pro_b) = inp

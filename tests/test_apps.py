@@ -440,15 +440,19 @@ class TestStreamServer:
 
         audio_rx = UdpSource("127.0.0.1", out_port, np.float32, timeout=3.0)
         result = {}
+        ready = threading.Event()
 
         def run_server():
             result["counts"] = srv.serve(
                 in_port, "127.0.0.1", out_port, quad_rate=fs,
-                audio_decim=4, chunk=chunk, in_host="127.0.0.1")
+                audio_decim=4, chunk=chunk, in_host="127.0.0.1",
+                on_ready=ready.set)
 
         th = threading.Thread(target=run_server)
         th.start()
-        time.sleep(1.0)  # let the server bind + compile lazily on feed
+        # wait for the input socket bind (a fixed sleep races executor
+        # init under CPU contention and every datagram is silently lost)
+        assert ready.wait(timeout=120), "server never became ready"
         tx = UdpSink("127.0.0.1", in_port, np.complex64)
         tx.write_items(iq)
         tx.close()  # zero-length datagram ends the service
