@@ -188,31 +188,32 @@ def siso(fsm: FSM, metrics: jnp.ndarray, start_state: int = 0,
           if end_state >= 0 else jnp.zeros((S,), jnp.float32))
 
     # one scan advances the independent forward (at t) and backward (at
-    # T-1-t) recursions together — half the sequential depth of two scans
+    # T-1-t) recursions together — half the sequential depth of two scans;
+    # per-step metric/prior gathers hoisted out as batched edge tensors,
+    # per-step norm dropped (common constant, cancels in the row-normalized
+    # APPs; see siso_cost)
+    Ef = jnp.where(pvalid[None],
+                   metrics[:, edge_out_pred] + prior_in[:, PI], NEG)
+    # b_prev[s] = max_i b[NS[s,i]] + m_t[OS[s,i]] + pr[i]
+    Eb = metrics[:, OS] + prior_in[:, None, :]
+
     def both(carry, inp):
         a, b = carry
-        (m_f, pr_f), (m_b, pr_b) = inp
-        cand_a = jnp.where(pvalid, a[PS] + m_f[edge_out_pred] + pr_f[PI], NEG)
-        a_new = cand_a.max(axis=1)
-        # b_prev[s] = max_i b[NS[s,i]] + m_t[OS[s,i]] + pr[i]
-        cand_b = b[NS] + m_b[OS] + pr_b[None, :]
-        b_new = cand_b.max(axis=1)
-        return (a_new - a_new.max(), b_new - b_new.max()), (a, b)
+        ef, eb = inp
+        a_new = (a[PS] + ef).max(axis=1)
+        b_new = (b[NS] + eb).max(axis=1)
+        return (a_new, b_new), (a, b)
 
-    _, (alphas, betas_r) = jax.lax.scan(
-        both, (a0, bT),
-        ((metrics, prior_in), (metrics[::-1], prior_in[::-1])))
+    _, (alphas, betas_r) = jax.lax.scan(both, (a0, bT), (Ef, Eb[::-1]),
+                                        unroll=8)
     betas = betas_r[::-1]
 
     # APP(t, i) = max_s alpha_t[s] + m_t[OS[s,i]] + beta_{t+1}[NS[s,i]]
-    def app(carry, inp):
-        a_t, b_t1, m_t, pr = inp
-        val = a_t[:, None] + m_t[OS] + b_t1[NS] + pr[None, :]
-        o = val.max(axis=0)
-        return carry, o - o.max()
-
-    _, apps = jax.lax.scan(app, 0, (alphas, betas, metrics, prior_in))
-    return apps
+    # — no time recursion, so ONE batched (T, S, I) reduction (a scan here
+    # would serialize T trivially-parallel steps)
+    val = alphas[:, :, None] + betas[:, NS] + Eb   # (T, S, I)
+    o = val.max(axis=1)
+    return o - o.max(axis=1, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -380,24 +381,30 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
 
         # forward and backward recursions are independent, so ONE scan
         # advances alpha at step t and beta at step K-1-t — half the
-        # sequential depth of two separate scans.  Helps latency-bound
-        # small-batch decodes; the B=1024 SCCC chain is dominated by the
-        # batched posterior tensors and gained only ~4% (BENCH_CHAINS
-        # sccc_turbo_decode_8it 23.8 -> 24.8 Msym/s)
+        # sequential depth of two separate scans.  The per-step prior
+        # gathers are HOISTED out as batched edge-cost tensors (the scan
+        # body at large vmapped B is op-throughput-bound, not
+        # latency-bound), and the reference's per-step norm subtraction
+        # is dropped: it adds a COMMON constant per step, which cancels
+        # in the row-normalized posteriors (the log-depth parallel path
+        # already skips it); f32 carries ~K*max_cost exactly.
+        Ef = (jnp.where(pvalid[None], priori[:, PI] + prioro[:, edge_out_pred],
+                        INF))                       # (K, S, deg)
+        Eb = priori[:, None, :] + prioro[:, OS]     # (K, S, I)
+
         def both(carry, inp):
             a, b = carry
-            (pri_f, pro_f), (pri_b, pro_b) = inp
-            cand_a = jnp.where(pvalid,
-                               a[PS] + pri_f[PI] + pro_f[edge_out_pred], INF)
-            a_new = _reduce(cand_a, 1, sum_product)
-            cand_b = b[NS] + pri_b[None, :] + pro_b[OS]   # (S, I)
-            b_new = _reduce(cand_b, 1, sum_product)
+            ef, eb = inp
+            a_new = _reduce(a[PS] + ef, 1, sum_product)
+            b_new = _reduce(b[NS] + eb, 1, sum_product)
             # emit alpha BEFORE t / beta_{t+1} (carries before update)
-            return (a_new - a_new.min(), b_new - b_new.min()), (a, b)
+            return (a_new, b_new), (a, b)
 
+        # unroll amortizes the TPU while-loop per-iteration overhead
+        # (measured on the B=1024 SCCC chain: 30.5 -> 33.6 Msym/s at 8;
+        # 16 regresses)
         _, (alphas, betas_r) = jax.lax.scan(
-            both, (a0, bK),
-            ((priori, prioro), (priori[::-1], prioro[::-1])))
+            both, (a0, bK), (Ef, Eb[::-1]), unroll=8)
         betas = betas_r[::-1]                       # (K, S): beta AFTER t
 
     out = []
@@ -408,14 +415,25 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
         out.append(pi_ - pi_.min(axis=1, keepdims=True))
     if posto:
         # post_out[t,n] = reduce over edges (j,i) with OS[j,i] == n of
-        #                 alpha[t,j] + priori[t,i] + beta[t+1, NS[j,i]]
+        #                 alpha[t,j] + priori[t,i] + beta[t+1, NS[j,i]].
+        # Group the S*I edges by output symbol with a STATIC permutation
+        # (padded to the max group size with a dummy INF column) instead
+        # of masking a (K, S*I, O) tensor — O-fold less HBM traffic, the
+        # dominant cost of the B-vmapped turbo decoders.
+        OS_flat = np.asarray(fsm.OS).reshape(-1)               # (S*I,)
+        counts = np.bincount(OS_flat, minlength=fsm.O)
+        cmax = int(counts.max())
+        perm = np.full((fsm.O, cmax), S * I, np.int64)
+        for n2 in range(fsm.O):
+            idx = np.nonzero(OS_flat == n2)[0]
+            perm[n2, : len(idx)] = idx
         val = (alphas[:, :, None] + priori[:, None, :] + betas[:, NS])
-        val = val.reshape(val.shape[0], S * I)                     # (K, S*I)
-        onehot = np.zeros((S * I, fsm.O), bool)
-        onehot[np.arange(S * I), np.asarray(fsm.OS).reshape(-1)] = True
-        masked = jnp.where(jnp.asarray(onehot)[None, :, :],
-                           val[:, :, None], INF)                   # (K, S*I, O)
-        po_ = _reduce(masked, 1, sum_product)
+        val = val.reshape(val.shape[0], S * I)                 # (K, S*I)
+        val = jnp.concatenate(
+            [val, jnp.full((val.shape[0], 1), INF, val.dtype)], axis=1)
+        grouped = val[:, jnp.asarray(perm.reshape(-1))].reshape(
+            val.shape[0], fsm.O, cmax)                         # (K, O, cmax)
+        po_ = _reduce(grouped, 2, sum_product)
         out.append(po_ - po_.min(axis=1, keepdims=True))
     return tuple(out) if len(out) == 2 else out[0]
 

@@ -125,6 +125,63 @@ class TestSisoCost:
         # symbol) unconstrained by the surrounding path
         assert (np.asarray(po_).argmin(1)[:-1] == FSM4.encode(bits)[:-1]).all()
 
+    @pytest.mark.parametrize("sum_product", [False, True])
+    def test_posto_grouped_matches_masked(self, sum_product):
+        """The grouped-by-output-symbol posto reduction must equal the
+        direct masked formulation, including FSMs whose outputs have
+        NON-uniform edge counts (exercises the INF padding)."""
+        from grtpu.trellis.algorithms import INF, _reduce
+
+        # 2-state FSM, O=3 with output 0 on two edges, 1 and 2 on one each
+        fsm = FSM(2, 2, 3, NS=[0, 1, 0, 1], OS=[0, 1, 2, 0])
+        rng = np.random.default_rng(11)
+        K = 24
+        pri = rng.random((K, fsm.I)).astype(np.float32)
+        pro = rng.random((K, fsm.O)).astype(np.float32)
+        pi_, po_ = siso_cost(fsm, pri, pro, 0, -1, posti=True, posto=True,
+                             sum_product=sum_product)
+        # reference masked formulation on the same alphas/betas — recompute
+        # posteriors from scratch with the (K, S*I, O) mask
+        import jax.numpy as jnp
+        S, I = fsm.S, fsm.I
+        NS = np.asarray(fsm.NS)
+        # recover alphas/betas by re-running a posti-only call and solving
+        # is overkill: instead compare po_ against a brute-force edge sweep
+        ref = np.full((K, fsm.O), np.inf)
+        al = np.full((S,), INF); al[0] = 0.0
+        alphas = []
+        OSm = np.asarray(fsm.OS)
+        for t in range(K):
+            alphas.append(al.copy())
+            nxt = np.full((S,), np.inf)
+            for s in range(S):
+                for i in range(I):
+                    c = al[s] + pri[t, i] + pro[t, OSm[s, i]]
+                    d = NS[s, i]
+                    nxt[d] = (min(nxt[d], c) if not sum_product else
+                              -np.logaddexp(-nxt[d], -c))
+            al = nxt - nxt.min()
+        be = np.zeros((S,))
+        betas = [None] * K
+        for t in range(K - 1, -1, -1):
+            betas[t] = be.copy()
+            prv = np.full((S,), np.inf)
+            for s in range(S):
+                for i in range(I):
+                    c = be[NS[s, i]] + pri[t, i] + pro[t, OSm[s, i]]
+                    prv[s] = (min(prv[s], c) if not sum_product else
+                              -np.logaddexp(-prv[s], -c))
+            be = prv - prv.min()
+        for t in range(K):
+            for s in range(S):
+                for i in range(I):
+                    c = alphas[t][s] + pri[t, i] + betas[t][NS[s, i]]
+                    n = OSm[s, i]
+                    ref[t, n] = (min(ref[t, n], c) if not sum_product else
+                                 -np.logaddexp(-ref[t, n], -c))
+        ref = ref - ref.min(axis=1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(po_), ref, atol=2e-4)
+
     def test_sum_product_matches_minsum_at_high_confidence(self):
         rng = np.random.default_rng(5)
         bits = rng.integers(0, 2, 48)
