@@ -25,7 +25,8 @@ class PfbChannelizer(Block):
     rate oversample*fs/nchan.  Channel c centered at +c*fs/nchan."""
 
     def __init__(self, nchan: int, taps=None, oversample: int = 1,
-                 taps_per_branch: int = 12, name=None):
+                 taps_per_branch: int = 12, precision: str = "f32",
+                 name=None):
         self.in_ports = (Port(jnp.complex64),)
         self.out_ports = (Port(jnp.complex64, nchan),)
         if taps is None:
@@ -37,12 +38,14 @@ class PfbChannelizer(Block):
         super().__init__(name)
         self.nchan = nchan
         self.oversample = oversample
+        self.precision = precision  # "f32" exact / "bf16x3" ~107dB / "bf16"
 
     def apply(self, state, x):
         # history = kp*nchan + 1 => executor delivers exactly kp*nchan
         # context samples, the channelizer's required history
         return state, pfb_ops.channelize(x, self.taps, self.nchan,
-                                         self.oversample)
+                                         self.oversample,
+                                         precision=self.precision)
 
 
 class PfbSynthesizer(Block):
