@@ -38,6 +38,8 @@ LABELS = {
         "PFB channelizer 64-ch input rate (single-pass bf16)",
     "pfb_channelizer_64ch_os2_input_rate":
         "PFB channelizer 64-ch, 2x-oversampled outputs (bf16x3)",
+    "pfb_channelizer_64ch_os2_input_rate_bf16":
+        "PFB channelizer 64-ch, 2x-oversampled outputs (single-pass bf16)",
     "dmr_burst_bank_128ch_aggregate":
         "DMR 4FSK burst bank, 128-ch aggregate",
     "mm_clock_recovery_windowed":
@@ -54,6 +56,7 @@ LABELS = {
     "viterbi_single_packet_latency_parallel_scan":
         "Viterbi single-packet latency (parallel scan)",
     "sccc_turbo_decode_8it": "SCCC turbo decode, 8 iterations (B=1024)",
+    "pccc_turbo_decode_8it": "PCCC turbo decode, 8 iterations (B=1024)",
     "ofdm_streaming_receiver": "OFDM streaming receiver (VR chain)",
     "ofdm_streaming_receiver_bank_64ch":
         "OFDM streaming receiver bank, 64-ch aggregate",

@@ -110,6 +110,25 @@ def main():
     per_t = slope_time(make_turbo, (m_turbo,), ms=(1, 3))
     turbo_msps = Bt * Kt / per_t / 1e6
 
+    # --- batched PCCC turbo (8 iterations, two 4-state RSC-ish FSMs) ----
+    from grtpu.trellis import pccc_decoder
+    m_pccc = jnp.asarray(
+        r.rand(Bt, Kt, FSM4.O * FSM4.O).astype(np.float32))
+
+    def make_pccc(m):
+        @jax.jit
+        def g(metrics):
+            def body(i, s):
+                dec = jax.vmap(lambda mm: pccc_decoder(
+                    FSM4, FSM4, il, mm + s * 1e-20, IT,
+                    parallel=False))(metrics)
+                return jnp.sum(dec).astype(jnp.float32)
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+        return g
+
+    per_p = slope_time(make_pccc, (m_pccc,), ms=(1, 3))
+    pccc_msps = Bt * Kt / per_p / 1e6
+
     print(json.dumps({
         "metric": "viterbi_batch_decode",
         "value": round(vit_msps, 1),
@@ -125,6 +144,12 @@ def main():
     print(json.dumps({
         "metric": "sccc_turbo_decode_8it",
         "value": round(turbo_msps, 2),
+        "unit": "Msymbols/s",
+        "batch": Bt, "K": Kt,
+    }))
+    print(json.dumps({
+        "metric": "pccc_turbo_decode_8it",
+        "value": round(pccc_msps, 2),
         "unit": "Msymbols/s",
         "batch": Bt, "K": Kt,
     }))
