@@ -50,27 +50,106 @@ class Transcendental(Block):
         return state, self.fn(x)
 
 
-class WaveletFF(Block):
-    """gr_wavelet_ff analog: per-vector orthogonal DWT (Haar cascade;
-    the reference wraps gsl's Daubechies family)."""
+def daubechies_taps(order: int) -> np.ndarray:
+    """Daubechies (extremal-phase) scaling coefficients, length ``order``
+    (even, >= 2; order 2 = Haar), normalized so sum = sqrt(2) — the same
+    family gsl_wavelet_daubechies exposes (gr_wavelet_ff.cc:56).
 
-    def __init__(self, size: int, levels: int = 1, name=None):
-        assert size % (1 << levels) == 0
+    Computed by spectral factorization rather than stored tables: the
+    half-band polynomial P(y) = sum_k C(p-1+k, k) y^k (p = order/2
+    vanishing moments) is mapped to z via y = (2 - z - 1/z)/4, its
+    inside-unit-circle roots are paired with the p-fold zero at z = -1,
+    and the minimum-phase factor is normalized.
+    """
+    if order % 2 or order < 2:
+        raise ValueError("Daubechies order must be even and >= 2")
+    p = order // 2
+    if p == 1:
+        return (np.array([1.0, 1.0]) / np.sqrt(2.0)).astype(np.float64)
+    from math import comb
+    import numpy.polynomial.polynomial as npp
+
+    q = np.zeros(2 * p - 1)
+    base = np.array([-1.0, 2.0, -1.0])          # ascending: -1 + 2z - z^2
+    for k in range(p):
+        c = comb(p - 1 + k, k) * 4.0 ** (p - 1 - k)
+        term = np.array([c])
+        for _ in range(k):
+            term = npp.polymul(term, base)
+        term = np.concatenate([np.zeros(p - 1 - k), term])
+        q[: len(term)] += term
+    roots = np.roots(q[::-1])
+    keep = roots[np.abs(roots) < 1.0]
+    if len(keep) != p - 1:
+        raise ValueError(f"spectral factorization failed for order {order}")
+    h = np.array([1.0 + 0j])
+    for _ in range(p):
+        h = npp.polymul(h, [0.5, 0.5])
+    for r in keep:
+        h = npp.polymul(h, [-r, 1.0])
+    h = np.real(h)[::-1].copy()                 # extremal-phase ordering
+    h *= np.sqrt(2.0) / h.sum()
+    return h
+
+
+def _dwt_matrix(size: int, order: int, forward: bool) -> np.ndarray:
+    """The full GSL wavelet pyramid as ONE orthogonal size x size matrix.
+
+    gsl_wavelet_transform_forward runs periodized lowpass/highpass steps
+    on the leading n elements for n = size, size/2, ..., 2; each step is
+    linear and orthogonal, so the whole transform composes into a single
+    matrix — on TPU the per-vector DWT is then one (B, size) @ (size,
+    size) MXU matmul instead of a log2(size)-deep gather pyramid.  The
+    inverse transform is its transpose.
+    """
+    if size & (size - 1):
+        raise ValueError("wavelet size must be a power of 2")
+    h1 = daubechies_taps(order)
+    nc = len(h1)
+    # quadrature mirror: g1[k] = (-1)^k h1[nc-1-k] (gsl daubechies_init)
+    g1 = ((-1.0) ** np.arange(nc)) * h1[::-1]
+    W = np.eye(size)
+    n = size
+    while n >= 2:
+        step = np.eye(size)
+        nh = n // 2
+        for i in range(nh):
+            row_s = np.zeros(size)
+            row_d = np.zeros(size)
+            for k in range(nc):
+                j = (2 * i + k) % n
+                row_s[j] += h1[k]
+                row_d[j] += g1[k]
+            step[i] = row_s
+            step[i + nh] = row_d
+        W = step @ W
+        n //= 2
+    return (W if forward else W.T).astype(np.float32)
+
+
+class WaveletFF(Block):
+    """gr_wavelet_ff (gnuradio-core/src/lib/general/gr_wavelet_ff.cc:56):
+    per-vector Daubechies DWT of the full gsl pyramid, ``order`` = wavelet
+    length (even, 2..20+), ``forward=False`` for the inverse transform.
+
+    TPU-native: the whole multi-level periodized transform is pre-composed
+    into one orthogonal matrix (host numpy constant) and applied as a
+    single batched MXU matmul; see _dwt_matrix.
+    """
+
+    def __init__(self, size: int = 1024, order: int = 20,
+                 forward: bool = True, name=None):
         self.in_ports = (Port(jnp.float32, size),)
         self.out_ports = (Port(jnp.float32, size),)
         super().__init__(name)
-        self.size, self.levels = size, levels
+        self.size, self.order, self.forward = size, order, forward
+        self._w = _dwt_matrix(size, order, forward).T  # apply as x @ Wt
 
     def apply(self, state, x):
-        out = x
-        n = self.size
-        s = 1 / np.sqrt(2)
-        for _ in range(self.levels):
-            lo = (out[:, 0:n:2] + out[:, 1:n:2]) * s
-            hi = (out[:, 0:n:2] - out[:, 1:n:2]) * s
-            out = jnp.concatenate([lo, hi, out[:, n:]], axis=1)
-            n //= 2
-        return state, out
+        y = jnp.dot(x, jnp.asarray(self._w),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return state, y
 
 
 class BurstTagger(Block):

@@ -292,3 +292,109 @@ class SimpleCorrelator(Block):
             x, self.payload, self.max_packets)
         return state, (payloads.reshape(-1),
                        ok.sum().astype(jnp.int32) * self.payload)
+
+
+class FramerSink(Block):
+    """gr_framer_sink_1 name shim (gnuradio-core/src/lib/general/
+    gr_framer_sink_1.cc): consumes the CorrelateAccessCode output bit
+    stream (data in bit 0, "code found" flag in bit 1 marking the first
+    header bit), parses the 2x16-bit header, and posts one Message per
+    frame — raw (still-whitened) payload bytes, exactly where the
+    reference crosses into Python via gr_msg_queue.
+
+    The streaming role is covered by the first-class PacketDecoder VR
+    block; this shim exists so reference users (and .grc graphs) find the
+    name.  Frames are parsed from the captured stream when the executor
+    finishes a run and delivered through ``self.msgq``.
+    """
+
+    def __init__(self, msgq=None, name=None):
+        from grtpu.runtime.msg import MsgQueue
+
+        self.in_ports = (Port(jnp.uint8),)
+        self.out_ports = ()
+        super().__init__(name)
+        self.msgq = msgq if msgq is not None else MsgQueue()
+        self._captured = None
+
+    def apply(self, state, x):
+        return state, ()
+
+    @property
+    def captured(self):
+        return self._captured
+
+    @captured.setter
+    def captured(self, vals):
+        self._captured = vals
+        if vals:
+            from grtpu.utils.xfer import to_numpy
+
+            self._parse(np.asarray(to_numpy(vals[0])).astype(np.uint8))
+
+    def _parse(self, stream: np.ndarray):
+        from grtpu.digital import packet as pu
+        from grtpu.runtime.msg import Message
+
+        flags = np.flatnonzero(stream & 0x2)
+        bits = stream & 1
+        n = len(bits)
+        pos = 0
+        for f in flags:
+            if f < pos or f + 32 > n:
+                continue
+            parsed = pu.parse_header(pu.bits_to_bytes(bits[f: f + 32]))
+            if parsed is None:
+                continue
+            plen, _off = parsed
+            end = f + 32 + plen * 8
+            if end > n:
+                continue
+            payload = pu.bits_to_bytes(bits[f + 32: end])
+            self.msgq.insert_tail(Message(payload=payload))
+            pos = end
+
+
+class PacketSink(FramerSink):
+    """gr_packet_sink name shim (gnuradio-core/src/lib/general/
+    gr_packet_sink.cc): like FramerSink but hunts the access code itself
+    on a raw demodulated bit stream (sync_vector = code bits, threshold =
+    max bit errors), then parses header + payload and posts the raw
+    payload bytes to ``self.msgq``."""
+
+    def __init__(self, sync_vector=None, msgq=None, threshold: int = 0,
+                 name=None):
+        super().__init__(msgq=msgq, name=name)
+        from grtpu.digital import packet as pu
+
+        self.code = (np.asarray(sync_vector, np.uint8)
+                     if sync_vector is not None and
+                     len(np.atleast_1d(sync_vector))
+                     else pu.DEFAULT_ACCESS_CODE_BITS)
+        self.threshold = 0 if threshold in (None, -1) else int(threshold)
+
+    def _parse(self, stream: np.ndarray):
+        from grtpu.digital import packet as pu
+        from grtpu.runtime.msg import Message
+
+        bits = stream & 1
+        consumed = 0
+        while True:
+            idx = pu.find_access_code(bits[consumed:], self.code,
+                                      self.threshold)
+            if idx is None:
+                break
+            base = consumed + idx
+            if base + 32 > len(bits):
+                break
+            parsed = pu.parse_header(pu.bits_to_bytes(bits[base: base + 32]))
+            if parsed is None:
+                consumed = base + 1
+                continue
+            plen, _off = parsed
+            end = base + 32 + plen * 8
+            if end > len(bits):
+                break
+            self.msgq.insert_tail(
+                Message(payload=pu.bits_to_bytes(bits[base + 32: end])))
+            consumed = end

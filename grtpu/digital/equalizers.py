@@ -70,22 +70,38 @@ def lms_dd_equalize(x: jnp.ndarray, taps: jnp.ndarray,
 
 def kurtotic_equalize(x: jnp.ndarray, taps: jnp.ndarray, mu: float,
                       stats: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]):
-    """Kurtosis-maximizing blind equalizer (digital_kurtotic_equalizer_cc):
-    running moments (p = E|y|^2, q = E y^2, m4 = E|y|^4) drive the error."""
+    """Sign-kurtosis-maximizing blind equalizer
+    (digital_kurtotic_equalizer_cc, after Guo/Zhao/Sun 2004).
+
+    Running moments p = E|y|^2, q = E y^2, m4 = E|y|^4 (EWMA, alpha=0.01)
+    form the kurtosis u = m4 - 2p^2 - q^2; the tap-update direction is the
+    reference's error term — sign(u) (componentwise 0/1 indicator on
+    re/im), scaled by 1/p^3, minus |u| conj(y), with each component
+    clipped to +-1 (digital_kurtotic_equalizer_cc.h:67-102) — which is
+    what keeps the blind loop stable.  taps += mu * window * error.
+    """
     ntaps = taps.shape[0]
     wins = _window_scan(x, ntaps)
     alpha = 0.01
+    eps = 1e-12
 
     def f(carry, w):
         tp, p, q, m4 = carry
         y = (tp * w).sum()
-        ay2 = jnp.abs(y) ** 2
-        p = (1 - alpha) * p + alpha * ay2
-        q = (1 - alpha) * q + alpha * y * y
-        m4 = (1 - alpha) * m4 + alpha * ay2 * ay2
-        ku = m4 - 2 * p * p - jnp.abs(q) ** 2
-        err = jnp.sign(ku) * (ay2 * y - p * y - jnp.conj(q) * jnp.conj(y))
-        tp2 = tp - mu * err * jnp.conj(w)
+        nrm = jnp.abs(y) ** 2
+        cnj = jnp.conj(y)
+        p = (1 - alpha) * p + alpha * nrm + eps
+        q = (1 - alpha) * q + alpha * y * y + (eps + 1j * eps)
+        m4 = (1 - alpha) * m4 + alpha * nrm * nrm + eps
+        u = m4 - 2.0 * p * p - q * q
+        sgn = ((u.real >= 0).astype(jnp.float32)
+               + 1j * (u.imag >= 0).astype(jnp.float32))
+        F = (1.0 / (p * p * p)) * (
+            sgn * (nrm * cnj - 2.0 * p * cnj - jnp.conj(q) * y)
+            - jnp.abs(u) * cnj)
+        err = (jnp.clip(F.real, -1.0, 1.0)
+               + 1j * jnp.clip(F.imag, -1.0, 1.0))
+        tp2 = tp + mu * w * err
         return (tp2, p, q, m4), y
 
     (taps2, p, q, m4), y = jax.lax.scan(f, (taps, *stats), wins)
@@ -115,6 +131,36 @@ class CmaEqualizer(Block):
     def apply(self, state, x):
         y, taps = cma_equalize(x, state, self.modulus, self.mu)
         return taps, y
+
+
+class KurtoticEqualizer(Block):
+    """digital_kurtotic_equalizer_cc block wrapper (sps=1).
+
+    Connectable graph surface over kurtotic_equalize(): state carries the
+    tap vector plus the running moments (p = E|y|^2, q = E y^2,
+    m4 = E|y|^4) that drive the kurtosis-sign error term.
+    """
+
+    def __init__(self, num_taps: int = 15, mu: float = 0.01, name=None):
+        self.in_ports = (Port(jnp.complex64),)
+        self.out_ports = (Port(jnp.complex64),)
+        self.history = num_taps
+        super().__init__(name)
+        self.num_taps, self.mu = num_taps, mu
+
+    def init_state(self):
+        # reference inits taps[0] = 1 (digital_kurtotic_equalizer_cc.cc:39)
+        t0 = np.zeros(self.num_taps, np.complex64)
+        t0[0] = 1.0
+        return (jnp.asarray(t0),
+                (jnp.zeros((), jnp.float32),
+                 jnp.zeros((), jnp.complex64),
+                 jnp.zeros((), jnp.float32)))
+
+    def apply(self, state, x):
+        taps, stats = state
+        y, taps2, stats2 = kurtotic_equalize(x, taps, self.mu, stats)
+        return (taps2, stats2), y
 
 
 class LmsDdEqualizer(Block):

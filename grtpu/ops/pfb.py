@@ -49,9 +49,12 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
                oversample: int = 1, precision: str = "f32") -> jnp.ndarray:
     """Polyphase channelizer; see module docstring.
 
-    ``precision``: "f32" (Precision.HIGHEST matmuls, exact) or "bf16x3"
-    (split-word 3-pass, ~4e-6 rel err ~= 107 dB — measured 1.3 vs 0.9
-    Gsample/s on 1x v5e; critically-sampled path only).
+    ``precision`` (honored by both the critically-sampled and the
+    oversampled path):
+      * "f32"    — Precision.HIGHEST matmuls, exact;
+      * "bf16x3" — split-word 3-pass, ~4e-6 rel err (~107 dB);
+      * "bf16"   — single-pass (~48-53 dB), ~2.7x the f32 rate — for
+        chains whose demods lock far below that floor.
 
     Args:
       x: input with ``kp * nchan`` history samples (kp = ceil(K/N) taps per
@@ -69,6 +72,9 @@ def channelize(x: jnp.ndarray, proto_taps: np.ndarray, nchan: int,
     os_ = oversample
     if N % os_:
         raise ValueError("oversample must divide nchan")
+    if precision not in ("f32", "bf16", "bf16x3"):
+        raise ValueError(
+            f"precision must be 'f32', 'bf16' or 'bf16x3', got {precision!r}")
     step = N // os_
     bank = polyphase_taps(np.asarray(proto_taps), N)  # (N, kp)
     kp = bank.shape[1]

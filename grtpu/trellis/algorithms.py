@@ -182,6 +182,20 @@ def siso(fsm: FSM, metrics: jnp.ndarray, start_state: int = 0,
     if prior_in is None:
         prior_in = jnp.zeros((T, I), jnp.float32)
 
+    # Pre-normalize each metric/prior row by its max (one batched op, not
+    # in the scan): per-row constants cancel in the row-normalized APPs —
+    # same algebra as the dropped per-step norm — but bound the f32 carry
+    # growth to K * (within-row spread) instead of K * max|metric|, so
+    # posterior resolution (~|alpha| * 2^-24) stays well below the APP
+    # differences that matter even for long blocks / unnormalized
+    # Euclidean metrics.
+    def _rowmax_norm(p):
+        pmax = p.max(axis=1, keepdims=True)
+        return p - jnp.where(pmax < NEG * 0.5, 0.0, pmax)
+
+    metrics = _rowmax_norm(metrics)
+    prior_in = _rowmax_norm(prior_in)
+
     a0 = jnp.full((S,), NEG, jnp.float32).at[max(start_state, 0)].set(0.0) \
         if start_state >= 0 else jnp.zeros((S,), jnp.float32)
     bT = (jnp.full((S,), NEG, jnp.float32).at[end_state].set(0.0)
@@ -363,6 +377,22 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
     OS = jnp.asarray(fsm.OS)
     priori = jnp.asarray(priori, jnp.float32)
     prioro = jnp.asarray(prioro, jnp.float32)
+    # Pre-normalize each prior row by its finite min (batched, outside the
+    # scan): row constants cancel in the row-min-normalized posteriors —
+    # the same algebra that justified dropping the reference's per-step
+    # norm — while bounding f32 alpha/beta carry growth to
+    # K * (within-row cost spread) instead of K * max|cost|.  Posterior
+    # resolution is ~|carry| * 2^-24, so without this, long blocks with
+    # large unnormalized Euclidean metrics could silently lose APP bits.
+    # (Masked INF entries stay ~INF; a degenerate all-INF row is left
+    # untouched rather than turned into NaNs.)
+
+    def _rownorm(p):
+        pmin = jnp.min(p, axis=1, keepdims=True)
+        return p - jnp.where(pmin > INF * 0.5, 0.0, pmin)
+
+    priori = _rownorm(priori)
+    prioro = _rownorm(prioro)
 
     a0 = (jnp.zeros((S,), jnp.float32) if start_state < 0
           else jnp.full((S,), INF, jnp.float32).at[start_state].set(0.0))

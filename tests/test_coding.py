@@ -95,6 +95,58 @@ class TestCorrelator:
         np.testing.assert_array_equal(out & 1, stream)
 
 
+class TestFramerPacketSinks:
+    """gr_framer_sink_1 / gr_packet_sink name shims: bit stream -> parsed
+    frames posted to a MsgQueue (raw whitened payload, like the
+    reference; unmake_packet then recovers the plaintext)."""
+
+    def _packet_bits(self, payload):
+        from grtpu.digital import packet
+        bits = packet.make_packet(payload)
+        pre = RNG.randint(0, 2, 37).astype(np.uint8)
+        post = RNG.randint(0, 2, 23).astype(np.uint8)
+        return np.concatenate([pre, bits, post]).astype(np.uint8)
+
+    def test_framer_sink_via_correlator(self):
+        from grtpu import Graph, StreamExecutor
+        from grtpu.runtime.block import Port
+        from grtpu.digital import packet
+        from grtpu.digital.correlate import CorrelateAccessCode, FramerSink
+
+        payload = b"hello framer sink"
+        stream = self._packet_bits(payload)
+        fs = FramerSink()
+        g = Graph()
+        pin = g.add_input(Port(jnp.uint8))
+        g.connect(pin, CorrelateAccessCode(packet.DEFAULT_ACCESS_CODE_BITS,
+                                           0), fs)
+        StreamExecutor(g, chunk_size=len(stream)).run(jnp.asarray(stream))
+        msg = fs.msgq.delete_head_nowait()
+        assert msg is not None
+        ok, got = packet.unmake_packet(
+            np.unpackbits(np.frombuffer(msg.to_string(), np.uint8)))
+        assert ok and got == payload
+
+    def test_packet_sink_hunts_code_itself(self):
+        from grtpu import Graph, StreamExecutor
+        from grtpu.runtime.block import Port
+        from grtpu.digital import packet
+        from grtpu.digital.correlate import PacketSink
+
+        payload = b"via packet_sink"
+        stream = self._packet_bits(payload)
+        ps = PacketSink(threshold=0)
+        g = Graph()
+        pin = g.add_input(Port(jnp.uint8))
+        g.connect(pin, ps)
+        StreamExecutor(g, chunk_size=len(stream)).run(jnp.asarray(stream))
+        msg = ps.msgq.delete_head_nowait()
+        assert msg is not None
+        ok, got = packet.unmake_packet(
+            np.unpackbits(np.frombuffer(msg.to_string(), np.uint8)))
+        assert ok and got == payload
+
+
 class TestScramblers:
     def test_additive_self_inverse(self):
         bits = RNG.randint(0, 2, 512).astype(np.uint8)

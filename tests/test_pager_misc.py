@@ -251,13 +251,101 @@ class TestMiscBlocks:
         g = Graph()
         pin = g.add_input(Port(jnp.float32))
         sink = VectorSink(jnp.float32, vlen=8)
-        g.connect(pin, StreamToVector(jnp.float32, 8), WaveletFF(8, 2), sink)
+        g.connect(pin, StreamToVector(jnp.float32, 8), WaveletFF(8, order=2),
+                  sink)
         ex = StreamExecutor(g, chunk_size=16)
         x = RNG.randn(16).astype(np.float32)
         ex.run(jnp.asarray(x))
         y = sink.data()
         # orthogonal transform preserves energy
         np.testing.assert_allclose((y ** 2).sum(), (x ** 2).sum(), rtol=1e-5)
+
+    def test_daubechies_taps_golden(self):
+        """Spectral-factorized coefficients vs published extremal-phase
+        Daubechies values (the constants gsl_wavelet_daubechies uses)."""
+        from grtpu.blocks.misc import daubechies_taps
+
+        d4 = daubechies_taps(4)
+        np.testing.assert_allclose(
+            d4, [0.48296291314453414, 0.8365163037378079,
+                 0.2241438680420134, -0.12940952255126037], atol=1e-12)
+        d8 = daubechies_taps(8)
+        np.testing.assert_allclose(
+            d8, [0.2303778133088965, 0.7148465705529157,
+                 0.6308807679298589, -0.027983769416859854,
+                 -0.18703481171909309, 0.030841381835560764,
+                 0.0328830116668852, -0.010597401785069032], atol=1e-10)
+        # orthonormality: sum h[k] h[k+2m] = delta_m for every order
+        for order in (2, 4, 6, 10, 12, 16, 20):
+            h = daubechies_taps(order)
+            np.testing.assert_allclose((h ** 2).sum(), 1.0, atol=1e-9)
+            for m in range(1, order // 2):
+                assert abs((h[: len(h) - 2 * m] * h[2 * m:]).sum()) < 1e-8
+
+    def test_wavelet_daubechies_roundtrip_and_pyramid(self):
+        """gr_wavelet_ff parity: forward(order=20) then inverse is the
+        identity; the composed-matrix transform equals an independent
+        per-level periodized pyramid; constant inputs land entirely in
+        bin 0 (vanishing moments)."""
+        from grtpu.blocks.misc import WaveletFF, daubechies_taps
+        from grtpu.blocks.stream import StreamToVector
+
+        size, order = 64, 20
+        x = RNG.randn(2 * size).astype(np.float32)
+
+        def run(block):
+            g = Graph()
+            pin = g.add_input(Port(jnp.float32))
+            sink = VectorSink(jnp.float32, vlen=size)
+            g.connect(pin, StreamToVector(jnp.float32, size), block, sink)
+            ex = StreamExecutor(g, chunk_size=2 * size)
+            ex.run(jnp.asarray(x))
+            return sink.data().reshape(2, size)
+
+        fwd = run(WaveletFF(size, order, forward=True))
+
+        # independent per-level pyramid (direct gsl dwt_step semantics)
+        h1 = daubechies_taps(order)
+        g1 = ((-1.0) ** np.arange(order)) * h1[::-1]
+        ref = x.reshape(2, size).astype(np.float64).copy()
+        for row in ref:
+            n = size
+            while n >= 2:
+                a = row[:n].copy()
+                sm = np.zeros(n // 2)
+                de = np.zeros(n // 2)
+                for i in range(n // 2):
+                    for k in range(order):
+                        j = (2 * i + k) % n
+                        sm[i] += h1[k] * a[j]
+                        de[i] += g1[k] * a[j]
+                row[: n // 2] = sm
+                row[n // 2: n] = de
+                n //= 2
+        np.testing.assert_allclose(fwd, ref, atol=2e-4)
+
+        # roundtrip through the inverse block
+        g = Graph()
+        pin = g.add_input(Port(jnp.float32))
+        sink = VectorSink(jnp.float32, vlen=size)
+        g.connect(pin, StreamToVector(jnp.float32, size),
+                  WaveletFF(size, order, forward=True),
+                  WaveletFF(size, order, forward=False), sink)
+        ex = StreamExecutor(g, chunk_size=2 * size)
+        ex.run(jnp.asarray(x))
+        np.testing.assert_allclose(sink.data().reshape(-1), x, atol=2e-4)
+
+        # p vanishing moments: a constant vector has zero detail
+        c = np.full(size, 3.25, np.float32)
+        g2 = Graph()
+        pin2 = g2.add_input(Port(jnp.float32))
+        sink2 = VectorSink(jnp.float32, vlen=size)
+        g2.connect(pin2, StreamToVector(jnp.float32, size),
+                   WaveletFF(size, 8, forward=True), sink2)
+        StreamExecutor(g2, chunk_size=size).run(jnp.asarray(c))
+        y = sink2.data().reshape(-1)
+        np.testing.assert_allclose(y[0], 3.25 * np.sqrt(size), rtol=1e-5)
+        np.testing.assert_allclose(y[1:], 0.0, atol=1e-4)
 
     def test_probe_mpsk_snr(self):
         from grtpu.blocks.misc import ProbeMpskSnr
