@@ -1,0 +1,224 @@
+"""ATSC 8-VSB RX throughput — the reference's showcase domain
+(gr-atsc/src/lib, ~13k LoC: FPLL -> bit timing -> field sync -> equalizer
+-> 12-phase Viterbi -> deinterleave -> RS -> derandomize).
+
+Workload: a real modulated transport stream (packets -> TX coding -> VSB
+passband at 2.5 samples/symbol) decoded by the grtpu chain
+(models/atsc_rf.AtscRfReceiver + models/atsc.AtscReceiver).  Before any
+timing, the full RX is run once and must recover error-free packets — the
+recorded rates are for a LOCKING, correctly-decoding receiver.
+
+Stages are timed separately (they run sequentially in the model) and
+composed into the end-to-end symbol rate:
+  * front_end: passband RRC FIR -> FPLL (per-sample scan) -> LPF ->
+    DC removal -> segment-batched bit timing loop -> field sync correlator
+  * dfe: per-field NLMS DFE (8 train sweeps + decision-feedback filter)
+  * trellis: 12-phase vmapped Viterbi (one call, models/atsc.py)
+  * transport: host-side deinterleave + RS(207,187) + derandomize
+
+Timing: in-jit fori_loop carry-fed slope, median over rounds (bench.py /
+CLAUDE.md discipline); host stage by wall clock (it is host numpy).
+
+Run from the repo root on the TPU: python benchmarks/atsc_bench.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RATIO = 2.5
+FS = 10.762238e6 * RATIO
+IF_NORM = 0.26
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from grtpu.models import atsc_rf as rf
+    from grtpu.models.atsc import (AtscReceiver, AtscTransmitter,
+                                   trellis_decode_device)
+    from grtpu.ops.fir import fir_filter, interp_fir_filter
+    from grtpu.utils import firdes
+
+    rng = np.random.default_rng(7)
+
+    # ---- build the RF stream: packets -> TX -> VSB passband ------------
+    npkt = int(312 * 3.3)
+    payload = rng.integers(0, 256, (npkt, 187)).astype(np.uint8)
+    pkts = np.concatenate(
+        [np.full((npkt, 1), 0x47, np.uint8), payload], axis=1)
+    tx = AtscTransmitter()
+    levels = tx.process(pkts)
+    codes = ((levels + 7) // 2).astype(np.uint8)
+    nseg_tx = len(codes) // 828
+    mux = rf.AtscFieldSyncMux()
+    stream_codes = mux(codes[: nseg_tx * 828].reshape(nseg_tx, 828))
+    sym = stream_codes.astype(np.float32) * 2 - 7 + 1.25   # + pilot
+    rrc5 = firdes.root_raised_cosine(5.0, 5.0, 1.0, 0.115, 201).astype(
+        np.float32)
+    up5 = np.asarray(interp_fir_filter(
+        jnp.concatenate([jnp.zeros(40, jnp.float32), jnp.asarray(sym)]),
+        jnp.asarray(rrc5), 5))
+    passband = rf.vsb_modulate(up5[::2].astype(np.float64), IF_NORM,
+                               RATIO).astype(np.float32)
+    n_samples = len(passband)
+    print(f"# stream: {n_samples} samples, {nseg_tx} data segments",
+          file=sys.stderr)
+
+    # ---- correctness gate: full RX must decode error-free --------------
+    rx = rf.AtscRfReceiver(fs=FS, if_freq=IF_NORM * FS, equalizer="lms2")
+    fields = rx.process(passband)
+    assert fields.shape[0] >= 2, f"only {fields.shape[0]} fields found"
+    dec = AtscReceiver()
+    got, bad = dec.process(np.concatenate(
+        [f.reshape(-1) for f in fields]))
+    match = 0
+    gotset = {g.tobytes() for g in got}
+    for p in pkts:
+        if p.tobytes() in gotset:
+            match += 1
+    print(f"# decoded {len(got)} pkts, {bad} uncorrectable, "
+          f"{match} exact TX matches", file=sys.stderr)
+    assert match >= 312, f"too few error-free packets: {match}"
+
+    # ---- shared slope timer --------------------------------------------
+    def slope(g, args, mbig):
+        float(np.asarray(g(*args, jnp.int32(1))))
+        float(np.asarray(g(*args, jnp.int32(mbig))))
+        vals = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(np.asarray(g(*args, jnp.int32(1))))
+            t1 = time.perf_counter()
+            float(np.asarray(g(*args, jnp.int32(mbig))))
+            t2 = time.perf_counter()
+            s = ((t2 - t1) - (t1 - t0)) / (mbig - 1)
+            if s > 0:
+                vals.append(s)
+            fallback = (t2 - t1) / (mbig - 1)
+        return float(np.median(vals)) if vals else fallback
+
+    # ---- stage 1: front end (FIR -> FPLL -> LPF -> DC -> BTL -> FS) ----
+    nseg_rx = int((n_samples - rf.BTL_WINDOW) // (RATIO * rf.SEGMENT_LEN))
+    kp, k = len(rx.pb_rrc), len(rx.lpf)
+    pb_taps = jnp.asarray(rx.pb_rrc)
+    lp_taps = jnp.asarray(rx.lpf)
+    xdev = jnp.asarray(passband)
+
+    @jax.jit
+    def front_end(x, m):
+        def body(i, s):
+            xi = x + s * 1e-20
+            pbf = fir_filter(jnp.concatenate(
+                [jnp.zeros(kp - 1, jnp.float32), xi]), pb_taps, 1)
+            st = rf.fpll_init_state(IF_NORM * FS, FS)
+            _, bb = rf.fpll(st, pbf, FS)
+            bbf = fir_filter(jnp.concatenate(
+                [jnp.zeros(k - 1, jnp.float32), bb]), lp_taps, 1)
+            bbd, _ = rf.remove_dc(bbf, jnp.asarray(0.0, jnp.float32))
+            bst = rf.btl_init_state(RATIO)
+            _, symo, _, _, _, _ = rf.bit_timing_loop(bst, bbd, nseg_rx)
+            tag, _ = rf.fs_correlate(symo)
+            return jnp.sum(symo) * 1e-20 + jnp.sum(tag) * 1e-20
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    per_fe = slope(front_end, (xdev,), 3)
+    fe_msps = n_samples / per_fe / 1e6
+    fe_msym = nseg_rx * rf.SEGMENT_LEN / per_fe / 1e6
+
+    # ---- stage 2: DFE equalizer per field ------------------------------
+    FL = rf.SYMBOLS_PER_FIELD
+    x_field = np.asarray(rng.normal(size=FL + rf.EQ_NTAPS - 1) * 5.0,
+                         np.float32)
+    xt_np = x_field[rf.EQ_CURSOR:
+                    rf.EQ_CURSOR + rf.FS_TRAIN_LEN + rf.DFE_NFF - 1]
+    d_np = rf.fs_training_levels(0)
+    xf_np = x_field[rf.EQ_CURSOR:
+                    rf.EQ_CURSOR + FL + rf.DFE_NFF - 1]
+    xt_j, d_j, xf_j = (jnp.asarray(a) for a in (xt_np, d_np, xf_np))
+
+    @jax.jit
+    def dfe_field(xt, d, xf, m):
+        def body(i, s):
+            wff = jnp.zeros(rf.DFE_NFF, jnp.float32).at[0].set(1.0 + s * 1e-20)
+            wfb = jnp.zeros(rf.DFE_NFB, jnp.float32)
+            for sweep in range(8):
+                mu = 0.25 * (0.5 ** max(0, sweep - 4))
+                wff, wfb = rf._dfe_train(wff, wfb, xt, d, jnp.float32(mu))
+            y = rf._dfe_filter(wff, wfb, xf, jnp.zeros(rf.DFE_NFB,
+                                                       jnp.float32))
+            return jnp.sum(y) * 1e-20
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    per_eq = slope(dfe_field, (xt_j, d_j, xf_j), 3)
+    eq_msym = FL / per_eq / 1e6
+
+    # ---- stage 3: 12-phase vmapped Viterbi per field -------------------
+    T12 = (rf.DSEGS_PER_FIELD * 828) // 12
+    lv = jnp.asarray(rng.choice([-7, -5, -3, -1, 1, 3, 5, 7],
+                                size=(12, T12)).astype(np.float32))
+
+    @jax.jit
+    def trellis_m(x, m):
+        def body(i, s):
+            out = trellis_decode_device(x + s * 1e-20)
+            return jnp.sum(out.astype(jnp.float32)) * 1e-20
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    per_tr = slope(trellis_m, (lv,), 3)
+    tr_msym = 12 * T12 / per_tr / 1e6
+
+    # ---- stage 4: host transport (deinterleave + RS + derandomize) -----
+    one_field = fields[0].reshape(-1)
+    t0 = time.perf_counter()
+    rounds = 3
+    for _ in range(rounds):
+        d2 = AtscReceiver()
+        d2.process(one_field)
+    per_host = (time.perf_counter() - t0) / rounds
+    # AtscReceiver.process includes the device trellis decode; subtract it
+    per_host_only = max(per_host - len(one_field) / (tr_msym * 1e6), 0.0)
+    host_msym = len(one_field) / per_host_only / 1e6
+
+    # ---- compose: sequential stages -> end-to-end symbol rate ----------
+    # per-symbol seconds (front end charged at its symbol rate)
+    ps = (1.0 / (fe_msym * 1e6) + 1.0 / (eq_msym * 1e6)
+          + 1.0 / (tr_msym * 1e6) + 1.0 / (host_msym * 1e6))
+    chain_msym = 1.0 / ps / 1e6
+    stages = {"front_end": round(fe_msym, 2), "dfe": round(eq_msym, 2),
+              "viterbi12": round(tr_msym, 2),
+              "transport_host": round(host_msym, 2)}
+    bottleneck = min(stages, key=stages.get)
+
+    print(json.dumps({
+        "metric": "atsc_8vsb_rx_full_chain",
+        "value": round(chain_msym, 2),
+        "unit": "Msym/s",
+        "vs_baseline": round(chain_msym / 10.762238, 3),  # ATSC real time
+        "packets_verified": int(match),
+        "notes": ("stage Msym/s: front_end %.1f (%.1f Msps in), dfe %.1f,"
+                  " viterbi12 %.1f, transport(host) %.1f — bottleneck: %s"
+                  % (fe_msym, fe_msps, eq_msym, tr_msym, host_msym,
+                     bottleneck)),
+    }))
+    print(json.dumps({
+        "metric": "atsc_rx_front_end",
+        "value": round(fe_msps, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(fe_msym / 10.762238, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Generic PSK demod bank throughput — north-star config #3, the
+reference's flagship digital loopback receive chain
+(gr-digital/python/generic_mod_demod.py:268-313: agc2 -> fll_band_edge ->
+pfb_clock_sync -> constellation_receiver).
+
+Workload: a vmapped bank of C QPSK channels at sps samples/symbol run
+through GenericModem._demod_dev (the hand-fused device chain the modem
+itself uses), plus a per-stage ablation (upto= knob) naming the
+bottleneck.  BER at the bench SNR is verified once on real modulated
+waveforms before timing, so the recorded rate is for a LOCKING receiver,
+not noise-shoveling.
+
+Timing: in-jit fori_loop with carry-fed inputs + scalar readback slope,
+median over rounds (see bench.py / CLAUDE.md timing discipline).
+
+Run from the repo root on the TPU: python benchmarks/psk_bench.py
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SNR_DB = 20.0
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from grtpu.digital.generic_mod_demod import GenericModem
+    from grtpu.utils import xfer
+
+    sps = 2
+    C, N = 256, 1 << 15                    # 256 channels x 32k samples/step
+    modem = GenericModem(m=4, samples_per_symbol=sps)
+
+    # --- real waveforms: C channels of QPSK at SNR_DB with small CFO ----
+    r = np.random.RandomState(0)
+    nbits = (N // sps) * 2 + 64
+    bits0 = r.randint(0, 2, nbits).astype(np.uint8)
+    tx0 = xfer.to_numpy(modem.modulate(bits0))   # complex-safe D2H
+    sig_pow = (np.abs(tx0) ** 2).mean()
+    namp = np.sqrt(sig_pow / (2 * 10 ** (SNR_DB / 10)))
+    chans = np.zeros((C, N), np.complex64)
+    for c in range(C):
+        cfo = (c - C / 2) * 2e-5
+        w = tx0[:N] * np.exp(1j * cfo * np.arange(N))
+        w = w + namp * (r.randn(N) + 1j * r.randn(N))
+        chans[c] = w.astype(np.complex64)
+    re = jnp.asarray(chans.real.copy())
+    im = jnp.asarray(chans.imag.copy())
+
+    # --- BER sanity on the host path (one channel, full readback) -------
+    got = modem.demodulate(chans[3])
+    settle = 600
+    n = min(len(bits0), len(got)) - settle
+    best = 1.0
+    for s in range(-4, 5):
+        a = bits0[settle: settle + n - 8]
+        b = got[settle + s: settle + s + n - 8] if s >= 0 else \
+            got[settle + s:][: n - 8]
+        m = min(len(a), len(b))
+        if m > 1000:
+            best = min(best, float((a[:m] != b[:m]).mean()))
+    ber = best
+
+    # --- throughput: vmapped bank, per-stage ablation -------------------
+    def make(upto):
+        fn = jax.vmap(partial(modem._demod_dev, upto=upto))
+
+        @jax.jit
+        def g(a, b, m):
+            def body(i, s):
+                x = ((a + s * 1e-20) + 1j * b).astype(jnp.complex64)
+                out = fn(x)
+                return jnp.sum(out[0]) * 1e-20
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+        return g
+
+    def slope(g, mbig):
+        float(np.asarray(g(re, im, jnp.int32(1))))
+        float(np.asarray(g(re, im, jnp.int32(mbig))))
+        vals = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(np.asarray(g(re, im, jnp.int32(1))))
+            t1 = time.perf_counter()
+            float(np.asarray(g(re, im, jnp.int32(mbig))))
+            t2 = time.perf_counter()
+            s = ((t2 - t1) - (t1 - t0)) / (mbig - 1)
+            if s > 0:
+                vals.append(s)
+            fallback = (t2 - t1) / (mbig - 1)
+        return float(np.median(vals)) if vals else fallback
+
+    stages = {}
+    for upto, mbig in (("agc", 9), ("fll", 5), ("clock", 5), ("all", 5)):
+        per = slope(make(upto), mbig)
+        stages[upto] = round(C * N / per / 1e6, 1)
+
+    msps = stages["all"]
+    print(json.dumps({
+        "metric": "psk_generic_demod_bank_256ch_aggregate",
+        "value": msps,
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / 1000.0, 3),   # target: 1 Gsample/s
+        "ber_at_20db": ber,
+        "sps": sps,
+        "notes": ("stage-cumulative Msps: agc %.0f, +fll %.0f, +clock %.0f,"
+                  " full %.0f — the per-sample FLL band-edge scan is the"
+                  " bottleneck" % (stages["agc"], stages["fll"],
+                                   stages["clock"], stages["all"])),
+    }))
+    print(json.dumps({
+        "metric": "psk_generic_demod_symbol_rate_256ch",
+        "value": round(msps / sps, 1),
+        "unit": "Msym/s",
+        "vs_baseline": round(msps / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

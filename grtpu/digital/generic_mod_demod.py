@@ -126,10 +126,14 @@ class GenericModem:
         gr-digital/examples/narrowband/digital_bert_rx.py:75-97)."""
         return self._demodulate(x)
 
-    def _demod_dev(self, x):
+    def _demod_dev(self, x, upto: str = "all"):
         """Device half of the receive chain.  Returns f32-typed outputs
         only (symbol indices, re/im symbol samples, loop scalars) so host
-        readback never touches non-f32 transfer paths."""
+        readback never touches non-f32 transfer paths.
+
+        ``upto`` (static; bench ablation knob): "agc", "fll", "clock" stop
+        the chain after that stage and return the stage output split into
+        f32 re/im; "all" (default) runs the full receiver."""
         # agc2
         def agc_scan(g, xi):
             y = xi * g
@@ -138,12 +142,16 @@ class GenericModem:
             return g + rate * err, y
 
         _, xa = jax.lax.scan(agc_scan, jnp.float32(1.0 / self.sps), x)
+        if upto == "agc":
+            return jnp.real(xa), jnp.imag(xa)
         # fll band edge
         fsz = int(self.sps * 4)
         xh = jnp.concatenate([jnp.zeros(fsz - 1, jnp.complex64), xa])
         xf, fll_state = loops.fll_band_edge(xh, loops.fll_init_state(),
                                             float(self.sps), self.excess_bw,
                                             fsz, self.freq_bw)
+        if upto == "fll":
+            return jnp.real(xf), jnp.imag(xf)
         # pfb clock sync on the matched-filter bank — windowed gather-free
         # form (fixed rate; see pfb_clock_sync_windowed)
         W = 32
@@ -158,6 +166,8 @@ class GenericModem:
             xw, st, self.sps, self.mf_bank, self.nfilts, self.timing_bw,
             W=W)
         sym_samps = ys[:t_eff]
+        if upto == "clock":
+            return jnp.real(sym_samps), jnp.imag(sym_samps)
         # constellation receiver (phase loop + decisions)
         syms, _, _ = loops.constellation_receiver(
             sym_samps, loops.costas_init_state(), self.constellation,

@@ -858,6 +858,10 @@ def load_grc(path: str, overrides: Optional[Dict[str, Any]] = None):
         byid[bid] = make_block(key, bid, params, env)
     for s, sp, d, dp in resolved:
         g.connect((byid[s], sp), (byid[d], dp))
+    # services (xmlrpc_server/client): in byid, never in the stream graph
+    for b in byid.values():
+        if getattr(b, "is_service", False):
+            b.attach(env, byid, g)
     return g, byid, options, env
 
 
@@ -1001,3 +1005,141 @@ def _trellis_pccc_decoder(p, env, **kw):
     pout = g.add_output(Port(out_dt))
     g.connect(pin, blk, Cast(blk.out_ports[0].dtype, out_dt), pout)
     return h
+
+
+def _wrap_out_cast(blk, out_dt):
+    """HierBlock casting only the output (metric-cost inputs stay float)."""
+    from grtpu.runtime.graph import HierBlock
+    from grtpu.blocks.convert import Cast
+
+    h = HierBlock(name=blk.name + "_w")
+    g = h.graph
+    pin = g.add_input(Port(blk.in_ports[0].dtype))
+    pout = g.add_output(Port(out_dt))
+    g.connect(pin, blk, Cast(blk.out_ports[0].dtype, out_dt), pout)
+    return h
+
+
+@adapter("trellis_sccc_encoder_xx")
+def _trellis_sccc_encoder(p, env, **kw):
+    from grtpu.trellis.blocks import ScccEncoder
+    from grtpu.trellis.fsm import FSM
+
+    fo = FSM.from_file(_ev(p["o_fsm_args"], env))
+    fi = FSM.from_file(_ev(p["i_fsm_args"], env))
+    K = int(_ev(p.get("bl") or p["block_size"], env))
+    inter = _ev(p.get("interleaver_args") or p["interleaver"], env)
+    blk = ScccEncoder(fo, int(_ev(p.get("o_init_state", "0"), env) or 0),
+                      fi, int(_ev(p.get("i_init_state", "0"), env) or 0),
+                      inter, K)
+    t = p.get("type", "ss")
+    return _wrap_ports(blk, _TRELLIS_DT[t[0]], _TRELLIS_DT[t[1]])
+
+
+@adapter("trellis_sccc_decoder_combined_xx")
+def _trellis_sccc_decoder_combined(p, env, **kw):
+    from grtpu.trellis.blocks import ScccDecoderCombined
+    from grtpu.trellis.fsm import FSM
+
+    fo = FSM.from_file(_ev(p["o_fsm_args"], env))
+    fi = FSM.from_file(_ev(p["i_fsm_args"], env))
+    K = int(_ev(p["block_size"], env))
+    inter = _ev(p["interleaver"], env)
+    cin = p.get("type", "c") == "c"
+    table = np.asarray(_ev(p["table"], env))
+    blk = ScccDecoderCombined(
+        fo, int(_ev(p.get("o_init_state", "0"), env) or 0),
+        int(_ev(p.get("o_final_state", "-1"), env)),
+        fi, int(_ev(p.get("i_init_state", "0"), env) or 0),
+        int(_ev(p.get("i_final_state", "-1"), env)),
+        inter, K, int(_ev(p.get("dim", "1"), env)),
+        table.astype(np.complex64 if cin else np.float32),
+        str(_ev(p.get("metric_type", "'euclidean'"), env)),
+        float(_ev(p.get("scaling", "1.0"), env)),
+        int(_ev(p.get("iterations", "10"), env)),
+        sum_product=(str(_ev(p.get("siso_type", "'min_sum'"), env))
+                     == "sum_product"),
+        complex_in=cin)
+    return _wrap_out_cast(blk, _TRELLIS_DT[p.get("out_type", "s")])
+
+
+@adapter("trellis_sccc_decoder_x")
+def _trellis_sccc_decoder_plain(p, env, **kw):
+    from grtpu.trellis.blocks import ScccDecoder
+    from grtpu.trellis.fsm import FSM
+
+    fo = FSM.from_file(_ev(p["o_fsm_args"], env))
+    fi = FSM.from_file(_ev(p["i_fsm_args"], env))
+    blk = ScccDecoder(
+        fo, int(_ev(p.get("o_init_state", "0"), env) or 0),
+        int(_ev(p.get("o_final_state", "-1"), env)),
+        fi, int(_ev(p.get("i_init_state", "0"), env) or 0),
+        int(_ev(p.get("i_final_state", "-1"), env)),
+        _ev(p["interleaver"], env), int(_ev(p["block_size"], env)),
+        int(_ev(p.get("iterations", "10"), env)),
+        sum_product=(str(_ev(p.get("siso_type", "'min_sum'"), env))
+                     == "sum_product"))
+    return _wrap_out_cast(blk, _TRELLIS_DT[p.get("out_type", "s")])
+
+
+@adapter("trellis_pccc_decoder_x")
+def _trellis_pccc_decoder_plain(p, env, **kw):
+    from grtpu.trellis.blocks import PcccDecoder
+    from grtpu.trellis.fsm import FSM
+
+    f1 = FSM.from_file(_ev(p["o_fsm_args"], env))
+    f2 = FSM.from_file(_ev(p["i_fsm_args"], env))
+    blk = PcccDecoder(
+        f1, int(_ev(p.get("o_init_state", "0"), env) or 0),
+        int(_ev(p.get("o_final_state", "-1"), env)),
+        f2, int(_ev(p.get("i_init_state", "0"), env) or 0),
+        int(_ev(p.get("i_final_state", "-1"), env)),
+        _ev(p["interleaver"], env), int(_ev(p["block_size"], env)),
+        int(_ev(p.get("iterations", "10"), env)),
+        sum_product=(str(_ev(p.get("siso_type", "'min_sum'"), env))
+                     == "sum_product"))
+    return _wrap_out_cast(blk, _TRELLIS_DT[p.get("out_type", "s")])
+
+
+@adapter("trellis_metrics_x")
+def _trellis_metrics(p, env, **kw):
+    from grtpu.trellis.blocks import TrellisMetrics
+
+    t = p.get("type", "f")
+    cin = t == "c"
+    table = np.asarray(_ev(p["table"], env))
+    blk = TrellisMetrics(
+        int(_ev(p["card"], env)), int(_ev(p.get("dim", "1"), env)),
+        table.astype(np.complex64 if cin else np.float32),
+        str(_ev(p.get("metric_type", "'euclidean'"), env)),
+        complex_in=cin)
+    if t in ("s", "i"):
+        from grtpu.runtime.graph import HierBlock
+        from grtpu.blocks.convert import Cast
+
+        h = HierBlock(name=blk.name + "_w")
+        g = h.graph
+        pin = g.add_input(Port(_TRELLIS_DT[t]))
+        pout = g.add_output(Port(blk.out_ports[0].dtype))
+        g.connect(pin, Cast(_TRELLIS_DT[t], blk.in_ports[0].dtype), blk,
+                  pout)
+        return h
+    return blk
+
+
+@adapter("xmlrpc_server")
+def _xmlrpc_server(p, env, **kw):
+    from grtpu.io.xmlrpc import XmlRpcServerService
+
+    return XmlRpcServerService(p.get("addr", "localhost"),
+                               int(_ev(p.get("port", "1234"), env)))
+
+
+@adapter("xmlrpc_client")
+def _xmlrpc_client(p, env, **kw):
+    from grtpu.io.xmlrpc import XmlRpcClientService
+
+    return XmlRpcClientService(p.get("addr", "localhost"),
+                               int(_ev(p.get("port", "1234"), env)),
+                               p.get("callback", ""),
+                               p.get("variable", ""))

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -203,16 +204,26 @@ def trellis_encode(dibits: np.ndarray,
 
 
 def trellis_decode(levels: np.ndarray) -> np.ndarray:
-    """12-phase Viterbi decode: soft 8-level symbols -> dibit stream."""
+    """12-phase Viterbi decode: soft 8-level symbols -> dibit stream.
+
+    TPU-native: the 12 interleaved trellis phases are independent, so all
+    12 Viterbi scans run as ONE vmapped call (the reference's
+    atsci_viterbi_decoder mux loops them serially)."""
     x = np.asarray(levels, np.float32)
     assert len(x) % NUM_TRELLIS == 0
-    per = x.reshape(-1, NUM_TRELLIS)
-    out = np.zeros_like(per, dtype=np.int32)
+    out = trellis_decode_device(jnp.asarray(x.reshape(-1, NUM_TRELLIS).T))
+    from grtpu.utils import xfer
+    return np.asarray(xfer.to_numpy(out)).T.reshape(-1).astype(np.int32)
+
+
+@jax.jit
+def trellis_decode_device(per_phase: jnp.ndarray) -> jnp.ndarray:
+    """Device half of trellis_decode: (12, T) per-phase soft symbols ->
+    (12, T) dibit decisions, one vmapped Viterbi."""
     pts = jnp.asarray(LEVELS.astype(np.float32))
-    for ph in range(NUM_TRELLIS):
-        m = calc_metric_euclidean(jnp.asarray(per[:, ph]), pts)
-        out[:, ph] = np.asarray(viterbi(_FSM, m, 0, -1))
-    return out.reshape(-1)
+    return jax.vmap(
+        lambda row: viterbi(_FSM, calc_metric_euclidean(row, pts), 0, -1)
+    )(per_phase)
 
 
 # ------------------------------------------------------------------- pipeline

@@ -162,3 +162,132 @@ class TestTrellisFlowgraphs:
         errs = [np.abs(v.astype(np.float64)).mean()
                 for k, v in caps.items() if "numbersink" in k]
         assert min(errs) < 0.05, errs
+
+
+@needs_ref
+class TestTrellisFlowgraphsWave2:
+    """Remaining reference gr-trellis GRC examples (VERDICT r4 item #3):
+    SCCC combined + split decoders, PCCC split decoder, trellis_metrics_x."""
+
+    OV = {"prefix": "/root/reference/"}
+
+    def test_sccc_combined_loopback(self):
+        """sccc.grc: SCCC encode -> 2D QPSK-pair map -> AWGN -> 5-iteration
+        combined decode; error probe identically zero at default SNR."""
+        ex, byid = run_grc(
+            "/root/reference/gnuradio-examples/grc/trellis/sccc.grc",
+            steps=2, overrides=self.OV)
+        err = np.asarray(byid["wxgui_numbersink2_3_0"].captured[0])
+        assert err.shape[0] > 2000
+        assert float(np.abs(err.astype(np.float64)).mean()) == 0.0
+
+    def test_sccc1_split_metrics_decoder(self):
+        """sccc1.grc: separate trellis_metrics_x -> trellis_sccc_decoder_x
+        stages (the split form of the same pipeline)."""
+        ex, byid = run_grc(
+            "/root/reference/gnuradio-examples/grc/trellis/sccc1.grc",
+            steps=2, overrides=self.OV)
+        caps = {k: np.asarray(b.captured[0]) for k, b in byid.items()
+                if not getattr(b, "out_ports", ())
+                and getattr(b, "captured", None)}
+        errs = [np.abs(v.astype(np.float64)).mean()
+                for k, v in caps.items() if "numbersink" in k]
+        assert errs and min(errs) < 0.01, errs
+
+    def test_pccc1_split_metrics_decoder(self):
+        """pccc1.grc: trellis_metrics_x (joint 16-entry table, dim=2) ->
+        trellis_pccc_decoder_x."""
+        ex, byid = run_grc(
+            "/root/reference/gnuradio-examples/grc/trellis/pccc1.grc",
+            steps=2, overrides=self.OV)
+        caps = {k: np.asarray(b.captured[0]) for k, b in byid.items()
+                if not getattr(b, "out_ports", ())
+                and getattr(b, "captured", None)}
+        errs = [np.abs(v.astype(np.float64)).mean()
+                for k, v in caps.items() if "numbersink" in k]
+        assert errs and min(errs) < 0.01, errs
+
+
+@needs_ref
+class TestXmlRpcFlowgraphs:
+    """xmlrpc_{server,client}.grc: real XML-RPC over localhost — the
+    server flowgraph's variables become remotely-settable (the reference
+    registers the top_block's set_* methods on SimpleXMLRPCServer); the
+    client flowgraph's ServerProxy stubs push local variable expressions
+    to the remote callbacks."""
+
+    def test_server_and_client_pair(self):
+        from grtpu.grc.grcxml import load_grc
+
+        g, byid, options, env = load_grc(
+            f"{REF}/grc/xmlrpc/xmlrpc_server.grc")
+        srv = byid["xmlrpc_server"]
+        changed = []
+        srv.on_set = lambda k, v: changed.append((k, v))
+        try:
+            assert env["freq"] == 1000 and env["ampl"] == 1
+            # the flowgraph itself runs: sig source at env freq
+            from grtpu.runtime.executor import StreamExecutor
+            ex = StreamExecutor(g, chunk_size=4096)
+            ex.run(steps=1)
+            cap = np.asarray(byid["wxgui_scopesink2"].captured[0])
+            assert len(cap) == 4096
+
+            # remote set via a raw stdlib proxy (server side of the pair)
+            import xmlrpc.client
+            proxy = xmlrpc.client.ServerProxy(
+                f"http://localhost:{srv.port}", allow_none=True)
+            proxy.set_freq(2000)
+            assert env["freq"] == 2000
+            assert proxy.get_freq() == 2000
+            assert ("freq", 2000) in changed
+
+            # the client flowgraph: its three stubs push ampl, freq and
+            # offset*ampl through their callbacks (port overridden to the
+            # live server's)
+            g2, byid2, _, env2 = load_grc(
+                f"{REF}/grc/xmlrpc/xmlrpc_client.grc")
+            clients = [b for b in byid2.values()
+                       if getattr(b, "is_service", False)]
+            assert len(clients) == 3
+            for c in clients:
+                c.rpc_port = srv.port
+                c.attach(env2, byid2, g2)
+                c.push()
+            # client's ampl default (0.1) landed in the server env
+            assert abs(env["ampl"] - env2["ampl"]) < 1e-9
+            assert env["freq"] == env2["freq"]
+        finally:
+            srv.stop()
+
+
+@needs_ref
+class TestHrptDecodeFlowgraph:
+    def test_hrpt_decode_grc(self, tmp_path):
+        """gr-noaa/apps/hrpt_decode.grc: file of 10-bit HRPT words ->
+        noaa_hrpt_decoder; telemetry (spacecraft, minor-frame sequence)
+        must parse from a synthesized two-frame capture."""
+        from grtpu.models import noaa
+
+        NW = noaa.HRPT_MINOR_FRAME_WORDS
+
+        def make_frame(mfnum, addr=13, day=123, ms=4242424):
+            w = np.zeros(NW, np.int64)
+            w[:6] = noaa.HRPT_SYNC_WORDS
+            w[6] = (mfnum << 7) | (addr << 3)
+            w[8] = day << 1
+            w[9] = (ms >> 20) & 0x7F
+            w[10] = (ms >> 10) & 0x3FF
+            w[11] = ms & 0x3FF
+            return w
+
+        words = np.concatenate([make_frame(1), make_frame(2)])
+        path = tmp_path / "frames.hrpt"
+        words.astype(np.int16).tofile(path)
+        ex, byid = run_grc("/root/reference/gr-noaa/apps/hrpt_decode.grc",
+                           steps=1, chunk_size=2 * NW,
+                           overrides={"input_filename": str(path)})
+        rep = byid["decoder"].report()
+        assert rep["frames_seen"] == 2
+        assert rep["spacecraft"] == "NOAA18"
+        assert rep["seq_errs"] == 0
