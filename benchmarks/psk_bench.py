@@ -117,16 +117,70 @@ def main():
         "vs_baseline": round(msps / 1000.0, 3),   # target: 1 Gsample/s
         "ber_at_20db": ber,
         "sps": sps,
-        "notes": ("stage-cumulative Msps: agc %.0f, +fll %.0f, +clock %.0f,"
-                  " full %.0f — the per-sample FLL band-edge scan is the"
-                  " bottleneck" % (stages["agc"], stages["fll"],
-                                   stages["clock"], stages["all"])),
+        "notes": ("exact per-sample scans; stage-cumulative Msps: agc %.0f,"
+                  " +fll %.0f, +clock %.0f, full %.0f — op-LATENCY bound"
+                  " (rate is flat in channel count), which is what the"
+                  " chunked formulation attacks" %
+                  (stages["agc"], stages["fll"], stages["clock"],
+                   stages["all"])),
+    }))
+
+    # --- chunked formulation: same loops recovered in closed form per
+    # chunk (loops.agc2_chunked / fll_band_edge_chunked /
+    # pfb_clock_sync_chunked / constellation_receiver_chunked) ----------
+    modem_ck = GenericModem(m=4, samples_per_symbol=sps, chunked=True)
+    got_ck = modem_ck.demodulate(chans[3])
+    best_ck = 1.0
+    n = min(len(bits0), len(got_ck)) - settle
+    for s in range(-4, 5):
+        a = bits0[settle: settle + n - 8]
+        b = got_ck[settle + s: settle + s + n - 8] if s >= 0 else \
+            got_ck[settle + s:][: n - 8]
+        m = min(len(a), len(b))
+        if m > 1000:
+            best_ck = min(best_ck, float((a[:m] != b[:m]).mean()))
+
+    def make_ck(C2, N2):
+        re2 = jnp.asarray(r.randn(C2, N2).astype(np.float32))
+        im2 = jnp.asarray(r.randn(C2, N2).astype(np.float32))
+        fn = jax.vmap(modem_ck._demod_dev)
+
+        @jax.jit
+        def g(a, b, m):
+            def body(i, s):
+                x = ((a + s * 1e-20) + 1j * b).astype(jnp.complex64)
+                out = fn(x)
+                return jnp.sum(out[0]) * 1e-20
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+        def g2(m):
+            return g(re2, im2, m)
+        g2.work = C2 * N2
+        return g2
+
+    gck = make_ck(1024, 1 << 14)
+    per_ck = slope(lambda *a: gck(a[-1]), 5)
+    msps_ck = round(gck.work / per_ck / 1e6, 1)
+    print(json.dumps({
+        "metric": "psk_generic_demod_bank_chunked_1024ch_aggregate",
+        "value": msps_ck,
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps_ck / 1000.0, 3),
+        "ber_at_20db": best_ck,
+        "sps": sps,
+        "notes": ("chunk-batched AGC/FLL/clock/receiver (closed-form loop"
+                  " trajectories per 64-sample chunk), %.0fx the exact"
+                  " scans; bottleneck: the chunked pfb_clock_sync, whose"
+                  " chunk size is stability-bounded at ~64 symbols"
+                  " (rate-prediction drift ~beta*Lc^2/2 bank steps must"
+                  " stay under a symbol position)" %
+                  max(msps_ck / max(msps, 1e-9), 1.0)),
     }))
     print(json.dumps({
-        "metric": "psk_generic_demod_symbol_rate_256ch",
-        "value": round(msps / sps, 1),
+        "metric": "psk_generic_demod_symbol_rate_chunked",
+        "value": round(msps_ck / sps, 1),
         "unit": "Msym/s",
-        "vs_baseline": round(msps / 1000.0, 3),
+        "vs_baseline": round(msps_ck / 1000.0, 3),
     }))
 
 

@@ -19,6 +19,8 @@ from grtpu.ops import pfb as pfb_ops
 from grtpu.ops.fir import fir_filter, interp_fir_filter
 from grtpu.ops import dsp
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 class PfbChannelizer(Block):
     """gr_pfb_channelizer_ccf: stream in -> (nchan,)-vector stream out at
@@ -327,3 +329,105 @@ def pfb_clock_sync_windowed_init(nfilts: int):
     return (jnp.asarray(nfilts / 2.0, jnp.float32),
             jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.float32))
+
+
+def pfb_clock_sync_chunked(x: jnp.ndarray, state, sps: float,
+                           taps: np.ndarray, nfilts: int, loop_bw: float,
+                           max_dev: float = 1.5, W: int = 32,
+                           chunk: int = 64):
+    """Chunk-batched pfb_clock_sync with pfb_clock_sync_windowed's loop
+    semantics (same state, same floor-grid rows).
+
+    TPU-first reformulation of the per-symbol scan (op-latency bound at
+    ~19 Msps aggregate in vmapped banks).  Per chunk of Lc symbols:
+
+      1. predict the filter-phase trajectory from the carry with the
+         errors zeroed — k_t = k0 + t*rate is exact up to the intra-chunk
+         alpha*err corrections, which the loop itself absorbs next chunk;
+      2. batch-extract the Lc windows (one-hot position selects over the
+         row matrix) and batch the matched + derivative filter dots as
+         (Lc, nfilts) @ (nfilts, kp) one-hot bank matmuls;
+      3. compute all Lc timing errors at once and close the loop
+         trajectory in cumsum form (rate_t = clip(rate0 + beta cumsum e),
+         k unwrapped by cumsum, bank wraps by floor) for the carry.
+
+    Validated against the exact windowed scan at BER level (the two track
+    the same timing trajectory within the loop's noise; see
+    tests/test_digital.py chunked-parity tests).
+
+    x layout identical to pfb_clock_sync_windowed.  Returns ((T,)
+    symbols, state') with T truncated to a multiple of ``chunk``.
+
+    Unlike the windowed scan this does NOT materialize the (T, L) row
+    matrix (at sps=2 that is ~44x data duplication in HBM — the first
+    chunked cut was row-bound at 39 Msps aggregate); each chunk slices
+    its span of x directly and the one-hot select covers the combined
+    floor-grid + loop offset.
+    """
+    from grtpu.digital.loops import rationalize_sps
+
+    proto = np.asarray(taps)
+    bank = pfb_ops.polyphase_taps(proto, nfilts)[:, ::-1].copy()
+    dproto = np.empty_like(proto)
+    dproto[:-1] = proto[1:] - proto[:-1]
+    dproto[-1] = 0
+    dbank = pfb_ops.polyphase_taps(dproto, nfilts)[:, ::-1].copy()
+    kp = bank.shape[1]
+    bj, dj = jnp.asarray(bank), jnp.asarray(dbank)
+    P, Q = rationalize_sps(sps)
+    dmax = -(-P // Q)
+    L = dmax + 2 * W + kp
+    T = ((x.shape[0] - L) * Q) // P + 1
+    Tc = (T // chunk) * chunk
+    nspan = (chunk * P) // Q + L                   # chunk's input span
+    npos = nspan - kp + 1
+    alpha, beta = dsp.control_loop_gains(loop_bw)
+    pos_iota = jnp.arange(npos)
+    nf_iota = jnp.arange(nfilts)
+    t_iota = jnp.arange(chunk, dtype=jnp.float32)
+    t_iota_i = jnp.arange(chunk)
+
+    def f(carry, t0):
+        k, rate_f, rel = carry
+        # 1. err-free trajectory predictions from the carry
+        ku = k + t_iota * rate_f                       # unwrapped
+        shift = jnp.floor(ku / nfilts)
+        ki = jnp.clip(jnp.round(ku - shift * nfilts).astype(jnp.int32),
+                      0, nfilts - 1)
+        rel_t = jnp.clip(rel + shift, float(-W + 1), float(W - 1))
+        p = jnp.round(rel_t).astype(jnp.int32) + W     # (Lc,)
+        # 2. batched window extraction straight from x: symbol t's window
+        # starts at I_t + p_t with I_t = floor(t*P/Q) on the floor grid
+        I = ((t0 + t_iota_i) * P) // Q
+        region = jax.lax.dynamic_slice_in_dim(x, I[0], nspan)
+        o = (I - I[0]).astype(jnp.int32) + p
+        oh = (pos_iota[None, :] == o[:, None]).astype(jnp.bfloat16)
+        # window extraction as ONE (Lc, npos) @ (npos, kp) one-hot matmul
+        # per real plane — MXU work instead of kp masked VPU reductions
+        # (the masked form was VPU-FLOP bound at ~195 Msps aggregate).
+        # bf16: the 0/1 selection is exact; value rounding is ~48 dB,
+        # far below the timing loop's own noise and the chain SNR.
+        R = jnp.stack([region[j: j + npos] for j in range(kp)], axis=1)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        win = mm(oh, jnp.real(R)) + 1j * mm(oh, jnp.imag(R))  # (Lc, kp)
+        koh = (nf_iota[None, :] == ki[:, None]).astype(jnp.bfloat16)
+        outs = (win * mm(koh, bj)).sum(-1)
+        douts = (win * mm(koh, dj)).sum(-1)
+        errs = jnp.clip((douts * jnp.conj(outs)).real, -1.0, 1.0)
+        # 3. closed-form loop trajectory for the carry
+        rate_traj = jnp.clip(rate_f + beta * jnp.cumsum(errs),
+                             -max_dev, max_dev)
+        ku2 = k + jnp.cumsum(rate_traj + alpha * errs)
+        shift2 = jnp.floor(ku2 / nfilts)
+        k_new = ku2[-1] - shift2[-1] * nfilts
+        rel_new = jnp.clip(rel + shift2[-1], float(-W + 1), float(W - 1))
+        return (k_new, rate_traj[-1], rel_new), outs.astype(x.dtype)
+
+    new_state, ys = jax.lax.scan(
+        f, state, jnp.arange(Tc // chunk, dtype=jnp.int32) * chunk)
+    return ys.reshape(-1), new_state

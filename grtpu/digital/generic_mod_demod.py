@@ -32,7 +32,16 @@ class GenericModem:
                  samples_per_symbol: int = 4, excess_bw: float = 0.35,
                  freq_bw: float = 0.035, timing_bw: float = 0.045,
                  phase_bw: float = 0.06, nfilts: int = 32,
-                 differential: bool = True):
+                 differential: bool = True, chunked: bool = False,
+                 chunk: int = 64):
+        """``chunked=True`` selects the chunk-batched AGC/FLL/clock-sync
+        formulations (loops.agc2_chunked / fll_band_edge_chunked /
+        pfb.pfb_clock_sync_chunked): same loop semantics recovered in
+        closed form per chunk, ~1-2 orders faster in vmapped banks on TPU
+        (the per-sample scans are op-latency bound).  BER-parity with the
+        exact scans is test-enforced."""
+        self.chunked = bool(chunked)
+        self.chunk = int(chunk)
         self.m = m
         self.k = int(np.log2(m))
         self.sps = samples_per_symbol
@@ -135,21 +144,37 @@ class GenericModem:
         the chain after that stage and return the stage output split into
         f32 re/im; "all" (default) runs the full receiver."""
         # agc2
-        def agc_scan(g, xi):
-            y = xi * g
-            err = 1.0 - jnp.abs(y)
-            rate = jnp.where(err < 0, 1e-1, 1e-2)
-            return g + rate * err, y
+        Lc = self.chunk
+        if self.chunked:
+            pad = (-x.shape[0]) % Lc
+            xp = jnp.pad(x, (0, pad))
+            xa, _ = loops.agc2_chunked(xp, 1.0 / self.sps, 1e-1, 1e-2,
+                                       1.0, chunk=Lc)
+            xa = xa[: x.shape[0]]
+        else:
+            def agc_scan(g, xi):
+                y = xi * g
+                err = 1.0 - jnp.abs(y)
+                rate = jnp.where(err < 0, 1e-1, 1e-2)
+                return g + rate * err, y
 
-        _, xa = jax.lax.scan(agc_scan, jnp.float32(1.0 / self.sps), x)
+            _, xa = jax.lax.scan(agc_scan, jnp.float32(1.0 / self.sps), x)
         if upto == "agc":
             return jnp.real(xa), jnp.imag(xa)
         # fll band edge
         fsz = int(self.sps * 4)
         xh = jnp.concatenate([jnp.zeros(fsz - 1, jnp.complex64), xa])
-        xf, fll_state = loops.fll_band_edge(xh, loops.fll_init_state(),
-                                            float(self.sps), self.excess_bw,
-                                            fsz, self.freq_bw)
+        if self.chunked:
+            pad = (-xa.shape[0]) % Lc
+            xf, fll_state = loops.fll_band_edge_chunked(
+                jnp.pad(xh, (0, pad)), loops.fll_init_state(),
+                float(self.sps), self.excess_bw, fsz, self.freq_bw,
+                chunk=Lc)
+            xf = xf[: xa.shape[0]]
+        else:
+            xf, fll_state = loops.fll_band_edge(
+                xh, loops.fll_init_state(), float(self.sps),
+                self.excess_bw, fsz, self.freq_bw)
         if upto == "fll":
             return jnp.real(xf), jnp.imag(xf)
         # pfb clock sync on the matched-filter bank — windowed gather-free
@@ -162,16 +187,39 @@ class GenericModem:
         n_valid = jnp.asarray(t_eff, jnp.int32)
         xw = jnp.concatenate([jnp.zeros(W, xf.dtype), xf,
                               jnp.zeros(L + self._spsP, xf.dtype)])
-        ys, clk_state = pfb_clock_sync_windowed(
-            xw, st, self.sps, self.mf_bank, self.nfilts, self.timing_bw,
-            W=W)
+        if self.chunked:
+            from grtpu.blocks.pfb import pfb_clock_sync_chunked
+            # chunk 64 is the stability boundary: the err-free rate
+            # prediction drifts ~beta*Lc^2/2 bank steps within a chunk
+            # (acquisition errs ~ +-1), which must stay well under one
+            # symbol position (nfilts=32) — Lc=256 measured no-lock
+            ys, clk_state = pfb_clock_sync_chunked(
+                xw, st, self.sps, self.mf_bank, self.nfilts,
+                self.timing_bw, W=W, chunk=Lc)
+            t_eff = min(t_eff, ys.shape[0])
+            n_valid = jnp.asarray(t_eff, jnp.int32)
+        else:
+            ys, clk_state = pfb_clock_sync_windowed(
+                xw, st, self.sps, self.mf_bank, self.nfilts,
+                self.timing_bw, W=W)
         sym_samps = ys[:t_eff]
         if upto == "clock":
             return jnp.real(sym_samps), jnp.imag(sym_samps)
         # constellation receiver (phase loop + decisions)
-        syms, _, _ = loops.constellation_receiver(
-            sym_samps, loops.costas_init_state(), self.constellation,
-            self.phase_bw)
+        if self.chunked:
+            # small chunk + 2 sweeps: the DD phase loop's alpha corrections
+            # are large (alpha ~ 0.2), so intra-chunk prediction drift must
+            # stay well under a decision sector (slips measured at rc>=16)
+            rc = 8
+            padn = (-t_eff) % rc
+            syms, _, _ = loops.constellation_receiver_chunked(
+                jnp.pad(sym_samps, (0, padn)), loops.costas_init_state(),
+                self.constellation, self.phase_bw, chunk=rc, refine=2)
+            syms = syms[:t_eff]
+        else:
+            syms, _, _ = loops.constellation_receiver(
+                sym_samps, loops.costas_init_state(), self.constellation,
+                self.phase_bw)
         return (syms.astype(jnp.float32), n_valid.astype(jnp.float32),
                 jnp.real(sym_samps).astype(jnp.float32),
                 jnp.imag(sym_samps).astype(jnp.float32),

@@ -270,6 +270,112 @@ def fll_init_state():
     return (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
 
 
+def fll_band_edge_chunked(x: jnp.ndarray, state, samps_per_sym: float,
+                          rolloff: float, filter_size: int, loop_bw: float,
+                          gains=None, chunk: int = 64):
+    """Chunk-batched FLL with the same loop semantics as fll_band_edge.
+
+    TPU-first reformulation of the per-sample scan (which is op-LATENCY
+    bound: vmapped banks measured ~70 Msps aggregate regardless of channel
+    count).  Key observation: the frequency error |BE_up(x_rot)|^2 -
+    |BE_lo(x_rot)|^2 is INDEPENDENT of the NCO phase — the e^{-j phase}
+    factor drops out of the magnitudes — and depends on the loop frequency
+    only through the slow e^{-j freq k} ramp across the K-tap window.  So
+    per chunk of L samples:
+
+      1. freeze freq at the carry value, modulate the band-edge taps by
+         its ramp, and compute ALL L errors with two (L, K) matvecs;
+      2. recover the exact loop trajectory from those errors in closed
+         form (freq_t = clip(f0 + beta cumsum err), phase by cumsum) —
+         the same pattern as the ATSC bit-timing loop's in-segment
+         closed form (models/atsc_rf.py _btl_segment);
+      3. derotate the chunk with the batched phase ramp.
+
+    The freeze approximation errs by O(beta * L * err) in the ramp used
+    for the error filter — for loop_bw 0.035 and L=64 far inside the
+    loop's own noise; lock behavior and BER match the exact scan (see
+    tests/test_digital.py chunked-parity tests).
+
+    x carries filter_size-1 history samples; n = len(x) - (K-1) must be a
+    multiple of ``chunk``.  Returns (y, (phase, freq)).
+    """
+    alpha, beta = gains if gains is not None else \
+        dsp.control_loop_gains(loop_bw)
+    up, lo = band_edge_taps(samps_per_sym, rolloff, filter_size)
+    upj, loj = jnp.asarray(up), jnp.asarray(lo)
+    K = filter_size
+    n = x.shape[0] - (K - 1)
+    if n % chunk:
+        raise ValueError(f"n ({n}) must be a multiple of chunk ({chunk})")
+    fmax = np.float32(2 * np.pi / samps_per_sym)
+    karr = jnp.arange(K, dtype=jnp.float32) - (K - 1)
+    two_pi = np.float32(2 * np.pi)
+
+    def f(carry, i0):
+        phase, freq = carry
+        seg = jax.lax.dynamic_slice_in_dim(x, i0, chunk + K - 1)
+        W = jnp.stack([jax.lax.dynamic_slice_in_dim(seg, j, chunk)
+                       for j in range(K)], axis=1)       # (chunk, K)
+        rot = jnp.exp(-1j * freq * karr).astype(jnp.complex64)
+        ou = W @ (upj * rot)
+        ol = W @ (loj * rot)
+        errs = jnp.clip(jnp.real(ou) ** 2 + jnp.imag(ou) ** 2
+                        - jnp.real(ol) ** 2 - jnp.imag(ol) ** 2, -1.0, 1.0)
+        freq_traj = jnp.clip(freq + beta * jnp.cumsum(errs), -fmax, fmax)
+        dphi = freq_traj + alpha * errs      # applied AFTER sample t
+        phases = phase + jnp.concatenate(
+            [jnp.zeros(1, jnp.float32), jnp.cumsum(dphi)[:-1]])
+        y = W[:, K - 1] * jnp.exp(-1j * phases)
+        new_phase = jnp.mod(phase + jnp.sum(dphi), two_pi)
+        return (new_phase, freq_traj[-1]), y.astype(jnp.complex64)
+
+    (ph, fr), ys = jax.lax.scan(f, state,
+                                jnp.arange(n // chunk, dtype=jnp.int32)
+                                * chunk)
+    return ys.reshape(-1), (ph, fr)
+
+
+def agc2_chunked(x: jnp.ndarray, gain0, attack_rate: float = 1e-1,
+                 decay_rate: float = 1e-2, reference: float = 1.0,
+                 chunk: int = 64):
+    """Chunk-batched agc2 (gr_agc2_cc semantics: err = ref - |x g|, rate
+    attack_rate when err < 0 else decay_rate, g += rate * err).
+
+    The gain recurrence g' = g (1 - r |x|) + r ref is LINEAR once the
+    attack/decay branch r_t is fixed; per chunk the branch is predicted
+    with the carry gain (g varies by ~rate*err per sample, so the
+    prediction only misses right at the attack/decay crossover), and the
+    linear time-varying recurrence closes in cumprod/cumsum form.  The
+    carried gain is corrected every chunk by the true recurrence shape,
+    so errors do not accumulate.  Returns (y, gain').
+    """
+    a = jnp.abs(x)
+    n = x.shape[0]
+    if n % chunk:
+        raise ValueError(f"n ({n}) must be a multiple of chunk ({chunk})")
+    att, dec, ref = (np.float32(attack_rate), np.float32(decay_rate),
+                     np.float32(reference))
+
+    def f(g0, seg_a_x):
+        seg_a, seg_x = seg_a_x
+        err_pred = ref - g0 * seg_a
+        r = jnp.where(err_pred < 0, att, dec)
+        A = 1.0 - r * seg_a                   # g_{t+1} = A_t g_t + B_t
+        B = r * ref
+        P = jnp.cumprod(A)
+        # g AFTER t samples: g_t = P_t (g0 + sum_{s<=t} B_s / P_s)
+        S = jnp.cumsum(B / jnp.maximum(P, 1e-30))
+        g_after = P * (g0 + S)
+        # y_t uses the gain BEFORE its own update
+        g_before = jnp.concatenate([g0[None], g_after[:-1]])
+        y = seg_x * g_before
+        return g_after[-1], y.astype(seg_x.dtype)
+
+    gN, ys = jax.lax.scan(f, jnp.asarray(gain0, jnp.float32),
+                          (a.reshape(-1, chunk), x.reshape(-1, chunk)))
+    return ys.reshape(-1), gN
+
+
 # ------------------------------------------------- constellation receiver
 def constellation_receiver(x: jnp.ndarray, state, constellation,
                            loop_bw: float):
@@ -293,6 +399,51 @@ def constellation_receiver(x: jnp.ndarray, state, constellation,
 
     carry, (syms, ys) = jax.lax.scan(f, state, x)
     return syms, ys, carry
+
+
+def constellation_receiver_chunked(x: jnp.ndarray, state, constellation,
+                                   loop_bw: float, chunk: int = 32,
+                                   refine: int = 2):
+    """Chunk-batched constellation receiver with the same decision-
+    directed loop semantics as constellation_receiver.
+
+    Per chunk: predict the phase ramp from the carried (phase, freq),
+    derotate and decide ALL symbols at once, then re-solve the loop
+    trajectory from the batch of phase errors in closed form (``refine``
+    fixed-point sweeps — errors re-derived from the corrected ramp each
+    sweep).  At tracking SNRs one sweep already reproduces the per-symbol
+    scan's decisions; acquisition differs transiently and converges to
+    the same lock (BER-parity tested).  len(x) must be a multiple of
+    ``chunk``.  Returns (symbols, y, state).
+    """
+    alpha, beta = dsp.control_loop_gains(loop_bw)
+    pts = jnp.asarray(constellation.points)
+    M = pts.shape[0]
+    t0 = jnp.arange(chunk, dtype=jnp.float32)
+
+    def f(carry, seg):
+        phase, freq = carry
+        ph = phase + freq * t0                    # freq-only prediction
+        errs = jnp.zeros(chunk, jnp.float32)
+        for _ in range(refine):
+            y = seg * jnp.exp(-1j * ph)
+            d = jnp.argmin(jnp.abs(y[:, None] - pts[None, :]) ** 2, axis=1)
+            oh = (jnp.arange(M)[None, :] == d[:, None])
+            ref = (oh * pts[None, :]).sum(-1)
+            e = y * jnp.conj(ref)
+            errs = jnp.arctan2(jnp.imag(e), jnp.real(e))
+            freq_traj = freq + beta * jnp.cumsum(errs)
+            dphi = freq_traj + alpha * errs
+            ph = phase + jnp.concatenate(
+                [jnp.zeros(1, jnp.float32), jnp.cumsum(dphi)[:-1]])
+        y = seg * jnp.exp(-1j * ph)
+        d = jnp.argmin(jnp.abs(y[:, None] - pts[None, :]) ** 2,
+                       axis=1).astype(jnp.int32)
+        new = (dsp.phase_wrap(phase + jnp.sum(dphi)), freq_traj[-1])
+        return new, (d, y.astype(jnp.complex64))
+
+    carry, (syms, ys) = jax.lax.scan(f, state, x.reshape(-1, chunk))
+    return syms.reshape(-1), ys.reshape(-1), carry
 
 
 # ------------------------------------------------------------- differential

@@ -387,6 +387,27 @@ class TestGenericModem:
         ber, _ = _best_ber(bits, gm.demodulate(tx), settle=300)
         assert ber < 0.01, ber
 
+    def test_generic_qpsk_chunked_parity(self):
+        """chunked=True (chunk-batched AGC/FLL/clock-sync/receiver with
+        closed-form loop trajectories — the TPU fast path, ~14x the
+        per-sample scans in vmapped banks) must lock and match the exact
+        chain at BER level: clean BER 0, noisy BER within a small factor."""
+        from grtpu.digital.generic_mod_demod import GenericModem
+
+        bits = RNG.randint(0, 2, 8000).astype(np.uint8)
+        gm_ex = GenericModem(m=4, samples_per_symbol=2)
+        gm_ck = GenericModem(m=4, samples_per_symbol=2, chunked=True)
+        tx = np.asarray(gm_ex.modulate(bits))
+        ber_ck, _ = _best_ber(bits, gm_ck.demodulate(tx), settle=600)
+        assert ber_ck == 0.0, ber_ck
+
+        txc = tx * np.exp(1j * 0.004 * np.arange(len(tx)))
+        noisy = awgn(txc, 12.0, seed=5)
+        ber_ex, _ = _best_ber(bits, gm_ex.demodulate(noisy), settle=600)
+        ber_ck, _ = _best_ber(bits, gm_ck.demodulate(noisy), settle=600)
+        assert ber_ck < 0.02, (ber_ex, ber_ck)
+        assert ber_ck < max(ber_ex * 8, 0.008), (ber_ex, ber_ck)
+
     @pytest.mark.slow
     def test_generic_qpsk_fractional_sps_noise(self):
         from grtpu.digital.generic_mod_demod import GenericModem
