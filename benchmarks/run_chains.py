@@ -40,6 +40,9 @@ BENCHES = [
     ("ofdm_bench.py", 1200),
     ("trellis_bench.py", 900),
     ("stream_service_bench.py", 900),
+    ("psk_bench.py", 1800),
+    ("atsc_bench.py", 1800),
+    ("vocoder_bench.py", 1200),
 ]
 
 # Fixed-cost health probe: in-jit fori_loop matmul slope (block_until_ready

@@ -129,6 +129,38 @@ def main():
     per_p = slope_time(make_pccc, (m_pccc,), ms=(1, 3))
     pccc_msps = Bt * Kt / per_p / 1e6
 
+    # --- turbo B x unroll sweep (VERDICT r4 #5: find the knee) ----------
+    sweep = []
+    for Bs in (256, 1024, 4096, 16384):
+        m_s = jnp.asarray(r.rand(Bs, Kt, FSM_MSB.O).astype(np.float32))
+        for un in (4, 8, 16):
+            def make_s(m, _ms=m_s, _un=un):
+                @jax.jit
+                def g(metrics):
+                    def body(i, s):
+                        dec = jax.vmap(lambda mm: sccc_decoder(
+                            FSM4, FSM_MSB, il, mm + s * 1e-20, IT,
+                            parallel=False, unroll=_un))(metrics)
+                        return jnp.sum(dec).astype(jnp.float32)
+                    return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+                return g
+            ms_pair = (1, 9) if Bs <= 1024 else (1, 3)
+            per_s2 = slope_time(make_s, (m_s,), ms=ms_pair)
+            sweep.append({"B": Bs, "unroll": un,
+                          "msym_s": round(Bs * Kt / per_s2 / 1e6, 2)})
+            print(json.dumps({"metric": "sccc_sweep", **sweep[-1]}),
+                  file=sys.stderr)
+    best = max(sweep, key=lambda d: d["msym_s"])
+    print(json.dumps({
+        "metric": "sccc_turbo_sweep_best",
+        "value": best["msym_s"],
+        "unit": "Msymbols/s",
+        "batch": best["B"], "unroll": best["unroll"], "K": Kt,
+        "sweep": sweep,
+        "notes": ("B x unroll sweep; if the curve is flat in B past the "
+                  "knee the per-step op-throughput bound is proven"),
+    }))
+
     print(json.dumps({
         "metric": "viterbi_batch_decode",
         "value": round(vit_msps, 1),

@@ -528,18 +528,36 @@ class OfdmReceiver(Block):
             Fv = jnp.fft.fft(wins * ramp, axis=-1)
             eq = Fv[:, bins] / jnp.where(jnp.abs(c["chan"]) > 1e-9,
                                          c["chan"], 1.0)[None, :]
-            # sequential common-phase tracking, masked per row (identical
-            # update order to the old per-symbol scan)
-            phase = c["phase"]
-            rs = []
-            for kk in range(nsym):
-                r = eq[kk] * jnp.exp(-1j * phase)
-                dec = jnp.argmin(jnp.abs(r[:, None] - pts[None, :]) ** 2,
-                                 axis=1)
-                err = jnp.angle(jnp.sum(r * jnp.conj(pts[dec])))
-                rs.append(r * jnp.exp(-1j * err))
-                phase = jnp.where(active[kk], phase + err, phase)
-            r_all = jnp.stack(rs)                       # (nsym, occ)
+            # decision-directed common-phase tracking solved as a batched
+            # 2-sweep fixed point (round-5): the per-row update
+            # phase_k = phase_0 + sum_{j<k} err_j is a prefix sum once the
+            # errs are known, and errs barely move between sweeps (they
+            # are residual-CFO-sized), so 2 sweeps of whole-frame batched
+            # decide+measure reproduce the sequential loop's trajectory —
+            # ~nsym x fewer sequential ops in the only sequential section
+            phase0 = c["phase"]
+            # decision-free init: the 4th-power (QPSK) per-row common
+            # phase, expressed as per-row increments wrapped to the
+            # nearest pi/2 sector — large rotations that would defeat a
+            # zero-init DD sweep are captured before any decision is made
+            # (diagonal QPSK: on-constellation r^4 = -4s^4, so negate the
+            # sum to cancel the pi offset before dividing the angle by 4)
+            p4 = jnp.angle(-jnp.sum((eq * jnp.exp(-1j * phase0)) ** 4,
+                                    axis=-1)) / 4.0
+            d4 = p4 - jnp.concatenate([jnp.zeros(1, jnp.float32), p4[:-1]])
+            d4 = d4 - (np.pi / 2) * jnp.round(d4 / (np.pi / 2))
+            errs = jnp.where(active, d4, 0.0)
+            for _ in range(2):
+                ph_traj = phase0 + jnp.concatenate(
+                    [jnp.zeros(1, jnp.float32), jnp.cumsum(errs)[:-1]])
+                r = eq * jnp.exp(-1j * ph_traj)[:, None]
+                dec = jnp.argmin(jnp.abs(r[..., None]
+                                         - pts[None, None, :]) ** 2,
+                                 axis=-1)
+                e_new = jnp.angle(jnp.sum(r * jnp.conj(pts[dec]), axis=-1))
+                errs = jnp.where(active, e_new, 0.0)
+            r_all = r * jnp.exp(-1j * errs)[:, None]    # (nsym, occ)
+            phase = phase0 + jnp.sum(errs)
             e = jnp.sum(active).astype(jnp.int32)
             first = c["sym_left"] == nsym
             upd = {

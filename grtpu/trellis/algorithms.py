@@ -355,7 +355,7 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
               start_state: int = 0, end_state: int = -1,
               posti: bool = True, posto: bool = False,
               sum_product: bool = False,
-              parallel: Optional[bool] = None):
+              parallel: Optional[bool] = None, unroll: int = 8):
     """siso_algorithm (core_algorithms.cc:418-563) in the cost domain.
 
     Args:
@@ -434,7 +434,7 @@ def siso_cost(fsm: FSM, priori: jnp.ndarray, prioro: jnp.ndarray,
         # (measured on the B=1024 SCCC chain: 30.5 -> 33.6 Msym/s at 8;
         # 16 regresses)
         _, (alphas, betas_r) = jax.lax.scan(
-            both, (a0, bK), (Ef, Eb[::-1]), unroll=8)
+            both, (a0, bK), (Ef, Eb[::-1]), unroll=unroll)
         betas = betas_r[::-1]                       # (K, S): beta AFTER t
 
     out = []
@@ -472,7 +472,8 @@ def sccc_decoder(fsm_o: FSM, fsm_i: FSM, interleaver, iprioro: jnp.ndarray,
                  iterations: int = 10, sto0: int = 0, stok: int = -1,
                  sti0: int = 0, stik: int = -1,
                  sum_product: bool = False,
-                 parallel: Optional[bool] = None) -> jnp.ndarray:
+                 parallel: Optional[bool] = None,
+                 unroll: int = 8) -> jnp.ndarray:
     """Serially-concatenated-code turbo decoder
     (core_algorithms.cc sccc_decoder :973-1067).
 
@@ -491,17 +492,18 @@ def sccc_decoder(fsm_o: FSM, fsm_i: FSM, interleaver, iprioro: jnp.ndarray,
     for rep in range(iterations):
         iposti = siso_cost(fsm_i, ipriori, iprioro, sti0, stik,
                            posti=True, sum_product=sum_product,
-                           parallel=parallel)
+                           parallel=parallel, unroll=unroll)
         oprioro = iposti[DEINTER]          # deinterleave inner -> outer
         if rep < iterations - 1:
             oposto = siso_cost(fsm_o, opriori, oprioro, sto0, stok,
                                posti=False, posto=True,
-                               sum_product=sum_product, parallel=parallel)
+                               sum_product=sum_product, parallel=parallel,
+                               unroll=unroll)
             ipriori = oposto[INTER]        # re-interleave outer -> inner
         else:
             oposti = siso_cost(fsm_o, opriori, oprioro, sto0, stok,
                                posti=True, sum_product=sum_product,
-                               parallel=parallel)
+                               parallel=parallel, unroll=unroll)
     return jnp.argmin(oposti, axis=1).astype(jnp.int32)
 
 
@@ -524,7 +526,8 @@ def pccc_decoder(fsm1: FSM, fsm2: FSM, interleaver, cprioro: jnp.ndarray,
                  iterations: int = 10, st10: int = 0, st1k: int = -1,
                  st20: int = 0, st2k: int = -1,
                  sum_product: bool = False,
-                 parallel: Optional[bool] = None) -> jnp.ndarray:
+                 parallel: Optional[bool] = None,
+                 unroll: int = 8) -> jnp.ndarray:
     """Parallel-concatenated (turbo) decoder
     (core_algorithms.cc pccc_decoder :1105-1207).
 
@@ -550,11 +553,11 @@ def pccc_decoder(fsm1: FSM, fsm2: FSM, interleaver, cprioro: jnp.ndarray,
     for _ in range(iterations):
         posti1 = siso_cost(fsm1, priori1, prioro1, st10, st1k,
                            posti=True, sum_product=sum_product,
-                           parallel=parallel)
+                           parallel=parallel, unroll=unroll)
         priori2 = posti1[INTER]
         posti2 = siso_cost(fsm2, priori2, prioro2, st20, st2k,
                            posti=True, sum_product=sum_product,
-                           parallel=parallel)
+                           parallel=parallel, unroll=unroll)
         priori1 = posti2[DEINTER]
     # Hard decisions combine the final extrinsic pair (cc:1191-1204).
     total = _reduce(jnp.stack([priori1, posti1], 0), 0, sum_product)
