@@ -77,7 +77,8 @@ def main():
           file=sys.stderr)
 
     # ---- correctness gate: full RX must decode error-free --------------
-    rx = rf.AtscRfReceiver(fs=FS, if_freq=IF_NORM * FS, equalizer="lms2")
+    rx = rf.AtscRfReceiver(fs=FS, if_freq=IF_NORM * FS, ratio=RATIO,
+                           equalizer="lms2")
     fields = rx.process(passband)
     assert fields.shape[0] >= 2, f"only {fields.shape[0]} fields found"
     dec = AtscReceiver()

@@ -152,6 +152,37 @@ def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray, y0):
     return y, y[-1]
 
 
+def _slow_pole_chunked(aa: float, b: jnp.ndarray, y0, L: int):
+    """y[i] = aa*y[i-1] + b[i] via per-chunk closed form (see
+    linear_recurrence_const's slow-pole branch).  1-D ``b`` only."""
+    n = b.shape[0]
+    pad = (-n) % L
+    bp = jnp.pad(b, (0, pad))
+    k = np.arange(L)
+    apow = jnp.asarray((aa ** k).astype(np.float32))
+    ainv = jnp.asarray(((1.0 / aa) ** k).astype(np.float32))
+
+    sub = max(1, min(128, L))
+    nsub = -(-L // sub)
+    Lp = nsub * sub
+
+    def f(carry, seg):
+        # two-level prefix sum: f32 cumsum error grows O(n * eps); the
+        # blocked form keeps it O(sub * eps + nsub * eps)
+        t = jnp.pad(seg * ainv, (0, Lp - L)).reshape(nsub, sub)
+        local = jnp.cumsum(t, axis=-1)
+        blocks = jnp.cumsum(local[:, -1])
+        blocks = jnp.concatenate([jnp.zeros(1, blocks.dtype), blocks[:-1]])
+        s = (local + blocks[:, None]).reshape(-1)[:L] * apow
+        y = (aa * apow) * carry + s
+        return y[-1], y
+
+    last, ys = jax.lax.scan(f, jnp.asarray(y0, b.dtype),
+                            bp.reshape(-1, L))
+    y = ys.reshape(-1)[:n]
+    return y, y[n - 1]
+
+
 def linear_recurrence_const(a: float, b: jnp.ndarray, y0,
                             tol: float = 1e-9, max_taps: int = 128):
     """Solve y[i] = a*y[i-1] + b[i] for CONSTANT |a| < 1, exact to ``tol``.
@@ -174,15 +205,37 @@ def linear_recurrence_const(a: float, b: jnp.ndarray, y0,
     ntaps = int(np.ceil(np.log(tol) / np.log(max(abs(aa), 1e-12)))) \
         if aa != 0.0 else 1
     if ntaps > max_taps:
+        # slow pole: the truncated FIR would need >max_taps taps.
+        # n <= 128k: associative scan (log-depth, ~1e-5 relative).
+        # Larger n: the scan's XLA compile goes pathological (round-5:
+        # remove_dc over 2.1M samples hung the ATSC bench for minutes),
+        # so solve in chunked closed form instead — within a chunk of L,
+        #   y[t] = a^{t+1} y0 + a^t * cumsum(b[k] a^{-k})
+        # (a^{-k} growth bounded by picking L so a^{-L} <= ~8; only the
+        # chunk boundary is sequential; <= ~1e-3 relative at megasample n
+        # — f32 pole rounding drift, fine for DC trackers / averagers,
+        # the only consumers of megasample slow-pole recurrences).
+        n_last = b.shape[-1]
+        if n_last <= (1 << 17):
+            if b.ndim > 1:
+                lead = b.shape[:-1]
+                flat = b.reshape(-1, n_last)
+                y0f = jnp.broadcast_to(jnp.asarray(y0), lead).reshape(-1)
+                y, last = jax.vmap(lambda bb, s: linear_recurrence(
+                    jnp.full(bb.shape, aa, bb.dtype), bb, s))(flat, y0f)
+                return y.reshape(b.shape), last.reshape(lead)
+            af = jnp.full(b.shape, aa, b.dtype)
+            return linear_recurrence(af, b, y0)
+        L = int(np.clip(np.log(8.0) / max(-np.log(abs(aa)), 1e-12),
+                        8, 4096))
         if b.ndim > 1:
             lead = b.shape[:-1]
-            flat = b.reshape(-1, b.shape[-1])
+            flat = b.reshape(-1, n_last)
             y0f = jnp.broadcast_to(jnp.asarray(y0), lead).reshape(-1)
-            y, last = jax.vmap(lambda bb, s: linear_recurrence(
-                jnp.full(bb.shape, aa, bb.dtype), bb, s))(flat, y0f)
+            y, last = jax.vmap(lambda bb, s: _slow_pole_chunked(
+                aa, bb, s, L))(flat, y0f)
             return y.reshape(b.shape), last.reshape(lead)
-        af = jnp.full(b.shape, aa, b.dtype)
-        return linear_recurrence(af, b, y0)
+        return _slow_pole_chunked(aa, b, y0, L)
     # convolution taps: y[i] = sum_k taps[k] b[i-k] with taps[k] = a^k
     # (fir convention y[i] = sum_k t[k] x[i+K-1-k] over the zero-preloaded
     # input already gives x[i-k] indexing)

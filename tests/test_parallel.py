@@ -319,3 +319,40 @@ class TestTwoProcessMultihost:
         got1 = np.load(tmp_path / "mh_1.npy")
         np.testing.assert_allclose(got0, ref[:4], rtol=2e-6, atol=2e-7)
         np.testing.assert_allclose(got1, ref[4:], rtol=2e-6, atol=2e-7)
+
+
+class TestTimeShardedVR:
+    """SURVEY §7 hard part #1 / VERDICT r4 stretch #9: ONE variable-rate
+    stream (M&M clock recovery) time-sharded across a device mesh via
+    speculative per-shard acquisition + overlap splice reconciliation."""
+
+    def test_time_sharded_mm_matches_continuous(self):
+        import jax
+        import jax.numpy as jnp
+        from grtpu.digital import loops
+        from grtpu.parallel.timeshard_vr import time_sharded_mm
+
+        rng = np.random.RandomState(0)
+        sps, gm = 4, 0.175
+        go = 0.25 * gm * gm
+        nsym = 20000
+        syms = rng.choice([-1.0, 1.0], nsym)
+        x = np.repeat(syms, sps).astype(np.float32)[2:]  # timing offset
+        W = 32
+        L = sps + 2 * W + loops.NTAPS
+        xp = np.concatenate([np.zeros(W, np.float32), x,
+                             np.zeros(L + sps, np.float32)])
+        st = loops.mm_windowed_init_state(float(sps), 0.5)
+        y_ref = np.asarray(loops.clock_recovery_mm_ff_windowed(
+            jnp.asarray(xp), st, sps, go, gm, W=W)[0])
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("time",))
+        y_sh, diag = time_sharded_mm(x, sps, go, gm, nshards=8,
+                                     overlap_syms=512, mesh=mesh)
+        # every boundary spliced at full overlap agreement
+        assert min(diag["agreement"]) > 0.999, diag
+        n = min(len(y_ref), len(y_sh)) - 8
+        a = np.sign(y_ref[200:n])
+        b = np.sign(y_sh[200: 200 + len(a)])
+        agree = (a == b).mean()
+        assert agree > 0.999, agree
