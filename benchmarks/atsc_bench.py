@@ -124,7 +124,7 @@ def main():
             pbf = fir_filter(jnp.concatenate(
                 [jnp.zeros(kp - 1, jnp.float32), xi]), pb_taps, 1)
             st = rf.fpll_init_state(IF_NORM * FS, FS)
-            _, bb = rf.fpll(st, pbf, FS)
+            _, bb = rf.fpll_chunked(st, pbf, FS)
             bbf = fir_filter(jnp.concatenate(
                 [jnp.zeros(k - 1, jnp.float32), bb]), lp_taps, 1)
             bbd, _ = rf.remove_dc(bbf, jnp.asarray(0.0, jnp.float32))
@@ -165,6 +165,27 @@ def main():
     per_eq = slope(dfe_field, (xt_j, d_j, xf_j), 3)
     eq_msym = FL / per_eq / 1e6
 
+    # linear NLMS alternative (no decision feedback -> the field filter
+    # is ONE dense MXU FIR; the DFE's feedback dot is inherently
+    # per-symbol sequential)
+    xt_l = jnp.asarray(x_field[: rf.FS_TRAIN_LEN + rf.EQ_NTAPS - 1])
+    xf_l = jnp.asarray(x_field)
+
+    @jax.jit
+    def nlms_field(xt, d, xf, m):
+        def body(i, s):
+            taps = jnp.zeros(rf.EQ_NTAPS,
+                             jnp.float32).at[rf.EQ_CURSOR].set(1.0
+                                                               + s * 1e-20)
+            for _ in range(8):
+                taps, _ = rf._lms_train(taps, xt, d)
+            y = rf._eq_filter(taps, xf)
+            return jnp.sum(y) * 1e-20
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    per_nlms = slope(nlms_field, (xt_l, d_j, xf_l), 3)
+    nlms_msym = FL / per_nlms / 1e6
+
     # ---- stage 3: 12-phase vmapped Viterbi per field -------------------
     T12 = (rf.DSEGS_PER_FIELD * 828) // 12
     lv = jnp.asarray(rng.choice([-7, -5, -3, -1, 1, 3, 5, 7],
@@ -201,6 +222,10 @@ def main():
               "viterbi12": round(tr_msym, 2),
               "transport_host": round(host_msym, 2)}
     bottleneck = min(stages, key=stages.get)
+    # alternative chain with the linear NLMS equalizer (one MXU FIR)
+    ps_nlms = (1.0 / (fe_msym * 1e6) + 1.0 / (nlms_msym * 1e6)
+               + 1.0 / (tr_msym * 1e6) + 1.0 / (host_msym * 1e6))
+    chain_nlms = 1.0 / ps_nlms / 1e6
 
     print(json.dumps({
         "metric": "atsc_8vsb_rx_full_chain",
@@ -208,10 +233,13 @@ def main():
         "unit": "Msym/s",
         "vs_baseline": round(chain_msym / 10.762238, 3),  # ATSC real time
         "packets_verified": int(match),
-        "notes": ("stage Msym/s: front_end %.1f (%.1f Msps in), dfe %.1f,"
-                  " viterbi12 %.1f, transport(host) %.1f — bottleneck: %s"
-                  % (fe_msym, fe_msps, eq_msym, tr_msym, host_msym,
-                     bottleneck)),
+        "notes": ("stage Msym/s: front_end %.1f (%.1f Msps in,"
+                  " chunked FPLL), dfe %.1f (nlms linear eq %.1f ->"
+                  " chain %.2f), viterbi12 %.1f, transport(host) %.1f —"
+                  " bottleneck: %s; the DFE's per-symbol decision"
+                  " feedback is inherently sequential"
+                  % (fe_msym, fe_msps, eq_msym, nlms_msym, chain_nlms,
+                     tr_msym, host_msym, bottleneck)),
     }))
     print(json.dumps({
         "metric": "atsc_rx_front_end",

@@ -275,15 +275,12 @@ class AtscReceiver:
         # drop the interleaver pipeline delay
         deint = deint[TOTAL_INTERLEAVE_DELAY:]
         nseg = len(deint) // SEG_LEN
-        packets = []
-        bad = 0
-        for i in range(nseg):
-            seg = deint[i * SEG_LEN:(i + 1) * SEG_LEN].astype(np.int32)
-            fixed, nerr = self.rs.decode(seg)
-            if nerr < 0:
-                bad += 1
-                fixed = seg
-            packets.append(np.asarray(fixed[:DATA_LEN], np.uint8))
-        if not packets:
-            return np.zeros((0, DATA_LEN + 1), np.uint8), bad
-        return self.randomizer.derandomize_packets(np.stack(packets)), bad
+        if nseg == 0:
+            return np.zeros((0, DATA_LEN + 1), np.uint8), 0
+        segs = deint[: nseg * SEG_LEN].reshape(nseg, SEG_LEN)
+        # vectorized syndrome screen; BM runs only on errored segments
+        fixed, nerr = self.rs.decode_batch(segs)
+        bad = int((nerr < 0).sum())
+        keep = np.where((nerr >= 0)[:, None], fixed, segs.astype(np.uint8))
+        packets = keep[:, :DATA_LEN]
+        return self.randomizer.derandomize_packets(packets), bad

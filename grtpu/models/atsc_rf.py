@@ -194,6 +194,65 @@ def fpll(state: FpllState, x, fs: float):
     return lax.scan(step, state, x)
 
 
+def fpll_chunked(state: FpllState, x, fs: float, chunk: int = 256,
+                 sweeps: int = 2):
+    """Chunk-batched FPLL with fpll()'s loop semantics (round-5: the
+    per-sample scan is op-latency bound at ~0.8 Msamples/s single
+    stream; this runs the same loop at chunk granularity).
+
+    Per chunk: the AGC gain recurrence g' = g(1 - RATE|x|) + RATE*REF is
+    linear with KNOWN coefficients -> exact cumprod/cumsum closed form;
+    the PLL trajectory is solved by fixed point — predict the phase ramp
+    with frozen freq, batch-compute the filtered I/Q phase detector, and
+    re-solve freq/phase from the error batch in cumsum form (``sweeps``
+    passes; the loop gains alpha=1e-3, beta=2.5e-7 are tiny, so the
+    frozen-ramp error is far inside the detector's pull range).
+    """
+    iir_alpha = np.float32(1 - np.exp(-1.0 / fs / 5e-6))
+    alpha, beta = np.float32(1e-3), np.float32(1e-3 ** 2 / 4)
+    limit = np.float32(np.pi / 2)
+    two_pi = np.float32(2 * np.pi)
+    from grtpu.ops.dsp import linear_recurrence_const
+
+    n = x.shape[0]
+    pad = (-n) % chunk
+    xp = jnp.pad(x, (0, pad))
+
+    def step(st, seg):
+        # --- AGC closed form (gain BEFORE update scales each sample) ---
+        a_in = jnp.abs(seg)
+        A = 1.0 - FPLL_AGC_RATE * a_in
+        B = jnp.full_like(seg, FPLL_AGC_RATE * FPLL_AGC_REFERENCE)
+        P = jnp.cumprod(A)
+        S = jnp.cumsum(B / jnp.maximum(P, 1e-30))
+        g_after = P * (st.gain + S)
+        g_before = jnp.concatenate([st.gain[None], g_after[:-1]])
+        inp = seg * g_before
+        # --- PLL fixed point ---
+        pd = jnp.zeros(seg.shape[0], jnp.float32)
+        for _ in range(sweeps):
+            freq_traj = st.freq + beta * jnp.cumsum(pd)
+            # phase used at step t: prev phase + prev freq (+ alpha*pd)
+            dphi = freq_traj + alpha * pd
+            ph = st.phase + st.freq + jnp.concatenate(
+                [jnp.zeros(1, jnp.float32), jnp.cumsum(dphi)[:-1]])
+            ph = jnp.mod(ph, two_pi)
+            I = inp * jnp.sin(ph)
+            Q = inp * jnp.cos(ph)
+            fi, _ = linear_recurrence_const(
+                float(1.0 - iir_alpha), iir_alpha * I, st.fi)
+            fq, _ = linear_recurrence_const(
+                float(1.0 - iir_alpha), iir_alpha * Q, st.fq)
+            pd = jnp.clip(jnp.arctan2(fq, fi), -limit, limit)
+        new = FpllState(gain=g_after[-1],
+                        phase=jnp.mod(ph[-1] + alpha * pd[-1], two_pi),
+                        freq=freq_traj[-1], fi=fi[-1], fq=fq[-1])
+        return new, I
+
+    st2, ys = lax.scan(step, state, xp.reshape(-1, chunk))
+    return st2, ys.reshape(-1)[:n]
+
+
 def remove_dc(x, dc0, alpha: float = 1e-5):
     """Pilot removal: y = x - single_pole_iir(x) (fpll.py chain)."""
     from grtpu.ops.dsp import single_pole_iir
@@ -612,9 +671,14 @@ class AtscRfReceiver:
     ready for the transport decoder (grtpu.models.atsc.AtscReceiver)."""
 
     def __init__(self, fs: float, if_freq: float,
-                 ratio: float | None = None, equalizer: str = "nlms"):
+                 ratio: float | None = None, equalizer: str = "nlms",
+                 chunked_fpll: bool = True):
         self.fs = fs
         self.if_freq = if_freq
+        # chunk-batched FPLL by default (fpll_chunked: same loop in
+        # closed form per 256-sample chunk); chunked_fpll=False keeps
+        # the per-sample reference scan
+        self.chunked_fpll = bool(chunked_fpll)
         self.ratio = ratio if ratio is not None else fs / 10.76e6
         self.fpll_state = fpll_init_state(if_freq, fs)
         self.btl_state = btl_init_state(self.ratio)
@@ -646,7 +710,11 @@ class AtscRfReceiver:
             [jnp.zeros(kp - 1, jnp.float32),
              jnp.asarray(samples, jnp.float32)]),
             jnp.asarray(self.pb_rrc), 1)
-        self.fpll_state, bb = fpll(self.fpll_state, pbf, self.fs)
+        if self.chunked_fpll:
+            self.fpll_state, bb = fpll_chunked(self.fpll_state, pbf,
+                                               self.fs)
+        else:
+            self.fpll_state, bb = fpll(self.fpll_state, pbf, self.fs)
         k = len(self.lpf)
         bbf = fir_filter(jnp.concatenate(
             [jnp.zeros(k - 1, jnp.float32), bb]), jnp.asarray(self.lpf), 1)
