@@ -111,32 +111,67 @@ def main():
         return float(np.median(vals)) if vals else fallback
 
     # ---- stage 1: front end (FIR -> FPLL -> LPF -> DC -> BTL -> FS) ----
+    # timed as four separately-jitted loops (one fully-fused program
+    # covering the whole 2.1M-sample front end compiled for >20 min —
+    # XLA's whole-graph optimization blows up super-linearly) and
+    # composed by per-sample time, exactly like the later stages.
     nseg_rx = int((n_samples - rf.BTL_WINDOW) // (RATIO * rf.SEGMENT_LEN))
     kp, k = len(rx.pb_rrc), len(rx.lpf)
     pb_taps = jnp.asarray(rx.pb_rrc)
     lp_taps = jnp.asarray(rx.lpf)
     xdev = jnp.asarray(passband)
+    nsym_fe = nseg_rx * rf.SEGMENT_LEN
 
     @jax.jit
-    def front_end(x, m):
+    def fe_firs(x, m):
         def body(i, s):
             xi = x + s * 1e-20
             pbf = fir_filter(jnp.concatenate(
                 [jnp.zeros(kp - 1, jnp.float32), xi]), pb_taps, 1)
-            st = rf.fpll_init_state(IF_NORM * FS, FS)
-            _, bb = rf.fpll_chunked(st, pbf, FS)
             bbf = fir_filter(jnp.concatenate(
-                [jnp.zeros(k - 1, jnp.float32), bb]), lp_taps, 1)
-            bbd, _ = rf.remove_dc(bbf, jnp.asarray(0.0, jnp.float32))
-            bst = rf.btl_init_state(RATIO)
-            _, symo, _, _, _, _ = rf.bit_timing_loop(bst, bbd, nseg_rx)
-            tag, _ = rf.fs_correlate(symo)
-            return jnp.sum(symo) * 1e-20 + jnp.sum(tag) * 1e-20
+                [jnp.zeros(k - 1, jnp.float32), pbf]), lp_taps, 1)
+            return jnp.sum(bbf) * 1e-20
         return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
 
-    per_fe = slope(front_end, (xdev,), 3)
+    @jax.jit
+    def fe_fpll(x, m):
+        def body(i, s):
+            st = rf.fpll_init_state(IF_NORM * FS, FS)
+            _, bb = rf.fpll_chunked(st, x + s * 1e-20, FS)
+            return jnp.sum(bb) * 1e-20
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    @jax.jit
+    def fe_dcbtl(x, m):
+        def body(i, s):
+            bbd, _ = rf.remove_dc(x + s * 1e-20,
+                                  jnp.asarray(0.0, jnp.float32))
+            bst = rf.btl_init_state(RATIO)
+            _, symo, _, _, _, _ = rf.bit_timing_loop(bst, bbd, nseg_rx)
+            return jnp.sum(symo) * 1e-20
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    symdev = jnp.asarray(np.asarray(
+        rng.standard_normal(nsym_fe) * 4, np.float32))
+
+    @jax.jit
+    def fe_fs(x, m):
+        def body(i, s):
+            tag, _ = rf.fs_correlate(x + s * 1e-20)
+            return jnp.sum(tag) * 1e-20
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    import sys as _sys
+    per_parts = {}
+    for nm, fn, arg in (("firs", fe_firs, xdev), ("fpll", fe_fpll, xdev),
+                        ("dcbtl", fe_dcbtl, xdev), ("fs", fe_fs, symdev)):
+        print(f"# timing fe_{nm}...", file=_sys.stderr, flush=True)
+        per_parts[nm] = slope(fn, (arg,), 3)
+        print(f"# fe_{nm}: {per_parts[nm]:.3f} s", file=_sys.stderr,
+              flush=True)
+    per_fe = sum(per_parts.values())
     fe_msps = n_samples / per_fe / 1e6
-    fe_msym = nseg_rx * rf.SEGMENT_LEN / per_fe / 1e6
+    fe_msym = nsym_fe / per_fe / 1e6
 
     # ---- stage 2: DFE equalizer per field ------------------------------
     FL = rf.SYMBOLS_PER_FIELD

@@ -17,6 +17,11 @@ and pushes it to the remote callback via ``push()``.
 These are *services*, not stream blocks: the GRC loader instantiates
 them from the flowgraph and calls ``attach()``; they join ``byid`` but
 never the stream graph.
+
+Related: :mod:`grtpu.io.xmlrpc_ctl` serves a TopBlock-like INSTANCE's
+public callables (start/stop/set_*) — the surface GRC-generated python
+scripts expose.  This module serves a LOADED .grc flowgraph's variable
+environment — what the unmodified xmlrpc_{server,client}.grc files need.
 """
 
 from __future__ import annotations

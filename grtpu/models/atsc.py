@@ -116,18 +116,38 @@ class ConvolutionalInterleaver:
         self.ptr = 0
 
     def process(self, data: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(data), np.uint8)
-        for k, byte in enumerate(np.asarray(data, np.uint8)):
-            i = self.ptr
-            line = self.lines[i]
-            if len(line) == 0:
-                out[k] = byte
-            else:
-                out[k] = line[0]
-                line[:-1] = line[1:]
-                line[-1] = byte
-            self.ptr = (self.ptr + 1) % self.b
-        return out
+        return _commutated_fifo_process(self, data)
+
+
+def _commutated_fifo_process(self, data: np.ndarray) -> np.ndarray:
+    """Shared vectorized engine for the convolutional (de)interleavers.
+
+    The reference commutates one byte per branch FIFO; per call that is a
+    per-byte python loop (round-5: the ATSC transport bottleneck at ~0.5
+    Msym/s).  Each branch i only ever sees the strided sub-stream of its
+    own commutator slots, and its FIFO is a pure delay of len(line)
+    bytes of that sub-stream — so the whole call is B strided
+    slices/concats, byte-exact with the loop (state carried
+    identically)."""
+    data = np.asarray(data, np.uint8)
+    n = len(data)
+    out = np.empty(n, np.uint8)
+    b = self.b
+    for i in range(b):
+        # global positions of branch i this call
+        first = (i - self.ptr) % b
+        sub = data[first::b]
+        if len(sub) == 0:
+            continue
+        line = self.lines[i]
+        if len(line) == 0:
+            out[first::b] = sub
+        else:
+            buf = np.concatenate([line, sub])
+            out[first::b] = buf[: len(sub)]
+            self.lines[i] = buf[len(sub):]
+    self.ptr = (self.ptr + n) % b
+    return out
 
 
 class ConvolutionalDeinterleaver:
@@ -140,18 +160,7 @@ class ConvolutionalDeinterleaver:
         self.ptr = 0
 
     def process(self, data: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(data), np.uint8)
-        for k, byte in enumerate(np.asarray(data, np.uint8)):
-            i = self.ptr
-            line = self.lines[i]
-            if len(line) == 0:
-                out[k] = byte
-            else:
-                out[k] = line[0]
-                line[:-1] = line[1:]
-                line[-1] = byte
-            self.ptr = (self.ptr + 1) % self.b
-        return out
+        return _commutated_fifo_process(self, data)
 
 
 TOTAL_INTERLEAVE_DELAY = INTERLEAVE_B * (INTERLEAVE_B - 1) * INTERLEAVE_M
