@@ -77,16 +77,28 @@ class Randomizer:
         return out
 
     SEGS_PER_FIELD = 312
+    _PRBS_FIELD: "np.ndarray | None" = None
+
+    @classmethod
+    def _field_prbs(cls) -> np.ndarray:
+        """One field's PRBS bytes, computed once: the LFSR reloads
+        PRELOAD at every field start, so every field sees the SAME
+        sequence — the per-byte python LFSR loop (0.3-0.5 s/field) runs
+        exactly once per process."""
+        if cls._PRBS_FIELD is None:
+            cls._PRBS_FIELD = cls().sequence(cls.SEGS_PER_FIELD * DATA_LEN)
+        return cls._PRBS_FIELD
 
     def _field_sequence(self, n_packets: int) -> np.ndarray:
         """PRBS bytes for n_packets, with the A/53 per-field reset: the LFSR
         reloads PRELOAD at the start of every 312-packet data field."""
+        prbs = self._field_prbs()
         chunks = []
         done = 0
         while done < n_packets:
             self.reset()
             n = min(self.SEGS_PER_FIELD, n_packets - done)
-            chunks.append(self.sequence(n * DATA_LEN))
+            chunks.append(prbs[: n * DATA_LEN])
             done += n
         return np.concatenate(chunks).reshape(-1, DATA_LEN)
 
