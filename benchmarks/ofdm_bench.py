@@ -147,48 +147,85 @@ def main():
         "frames": nfr,
     }))
 
-    # 64-channel receiver bank: one stream's scan is latency-bound (tiny
-    # sequential VPU ops — measured invariant to scan unroll), so the
-    # TPU-native throughput shape is channel batching, same as the WBFM /
-    # DMR banks: vmap the WHOLE jitted executor step (VR FIFO drains
-    # included) over independent channel instances.
-    C = 64
-    vstep = jax.vmap(step)
-    st_bank = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a, (C,) + a.shape), ex.state)
-    reb = jnp.broadcast_to(re_, (C, chunk))
-    imb = jnp.broadcast_to(im_, (C, chunk))
+    # Receiver bank: one stream's frame scan is latency-bound (round-5:
+    # the DD phase loop is now a batched 4-power fixed point, so the
+    # per-frame step is ~60 batched ops and the remaining cost is the VR
+    # executor machinery + scan latency), so the TPU-native throughput
+    # shape is channel batching at LARGE chunks: vmap the WHOLE jitted
+    # executor step (VR FIFO drains included) over channel instances.
+    # Measured sweep: chunk 4span 451 / 16span 638 Msps at C=64; C=128
+    # at 32span clears the >1 Gsps bar — the bank is still latency-bound
+    # at 64 channels, so more lanes are near-free.
+    rng2 = np.random.RandomState(3)
 
-    @jax.jit
-    def loop_bank(st, a, b, mm):
-        def body(i, carry):
-            s, acc = carry
-            x = (a + acc * 1e-20 + 1j * b).astype(jnp.complex64)
-            s2, (_pads, caps) = vstep(s, (x,))
-            return (s2, jnp.sum(caps["__vr_counts__"][rx_name]) * 1e-6
-                    + acc * 1e-20)
+    def bank_rate(C, mult, vrmult, mbig=33):
+        rx_b = OfdmReceiver(m, nsym_data=nsym, sync_type="pn")
+        gb = Graph()
+        pinb = gb.add_input(Port(jnp.complex64))
+        pbb = gb.add_output(Port(jnp.uint8))
+        pfb = gb.add_output(Port(jnp.uint8))
+        pcb = gb.add_output(Port(jnp.complex64, m.occupied))
+        gb.connect(pinb, rx_b)
+        gb.connect((rx_b, 0), OfdmFrameSink(m), pbb)
+        gb.connect((rx_b, 1), pfb)
+        gb.connect((rx_b, 2), pcb)
+        span_b = (nsym + 2) * (m.fft_len + m.cp_len)
+        exb = StreamExecutor(gb, chunk_size=mult * span_b,
+                             vr_chunks={rx_b: vrmult * nsym})
+        stepb = exb.step_fn()
+        namec = [b.name for b in exb.order if b.variable_rate][0]
+        ck = exb.chunk_size
+        vstepb = jax.vmap(stepb)
+        stb = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (C,) + a.shape), exb.state)
+        reb = jnp.asarray(rng2.randn(C, ck).astype(np.float32))
+        imb = jnp.asarray(rng2.randn(C, ck).astype(np.float32))
 
-        _, acc = jax.lax.fori_loop(0, mm, body, (st, jnp.float32(0)))
-        return acc
+        @jax.jit
+        def loop_bank(st, a, b, mm):
+            def body(i, carry):
+                s, acc = carry
+                x = (a + acc * 1e-20 + 1j * b).astype(jnp.complex64)
+                s2, (_pads, caps) = vstepb(s, (x,))
+                return (s2, jnp.sum(caps["__vr_counts__"][namec]) * 1e-6
+                        + acc * 1e-20)
 
-    float(np.asarray(loop_bank(st_bank, reb, imb, jnp.int32(1))))
-    vals = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(np.asarray(loop_bank(st_bank, reb, imb, jnp.int32(1))))
-        t1 = time.perf_counter()
-        float(np.asarray(loop_bank(st_bank, reb, imb, jnp.int32(17))))
-        t2 = time.perf_counter()
-        s = ((t2 - t1) - (t1 - t0)) / 16
-        if s > 0:
-            vals.append(s)
-        fallback = (t2 - t1) / 17
-    per_b = float(np.median(vals)) if vals else fallback
+            _, acc = jax.lax.fori_loop(0, mm, body, (st, jnp.float32(0)))
+            return acc
+
+        float(np.asarray(loop_bank(stb, reb, imb, jnp.int32(1))))
+        float(np.asarray(loop_bank(stb, reb, imb, jnp.int32(mbig))))
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(loop_bank(stb, reb, imb, jnp.int32(1))))
+            t1 = time.perf_counter()
+            float(np.asarray(loop_bank(stb, reb, imb, jnp.int32(mbig))))
+            t2 = time.perf_counter()
+            s = ((t2 - t1) - (t1 - t0)) / (mbig - 1)
+            if s > 0:
+                vals.append(s)
+            fallback = (t2 - t1) / (mbig - 1)
+        per_b = float(np.median(vals)) if vals else fallback
+        return C * ck / per_b / 1e6
+
+    r64 = bank_rate(64, 16, 16)
     print(json.dumps({
         "metric": "ofdm_streaming_receiver_bank_64ch",
-        "value": round(C * chunk / per_b / 1e6, 2),
+        "value": round(r64, 2),
         "unit": "Msamples/s",
-        "channels": C,
+        "channels": 64,
+        "notes": "chunk 16 frame-spans, vr_chunks 16*nsym",
+    }))
+    r128 = bank_rate(128, 32, 32, mbig=17)
+    print(json.dumps({
+        "metric": "ofdm_streaming_receiver_bank_128ch",
+        "value": round(r128, 2),
+        "unit": "Msamples/s",
+        "vs_baseline": round(r128 / 1000.0, 3),
+        "channels": 128,
+        "notes": ("chunk 32 frame-spans; the bank is latency-bound at 64"
+                  " channels so lanes are near-free up to VMEM"),
     }))
 
 

@@ -60,6 +60,8 @@ LABELS = {
     "ofdm_streaming_receiver": "OFDM streaming receiver (VR chain)",
     "ofdm_streaming_receiver_bank_64ch":
         "OFDM streaming receiver bank, 64-ch aggregate",
+    "ofdm_streaming_receiver_bank_128ch":
+        "OFDM streaming receiver bank, 128-ch aggregate",
     "executor_host_overhead_no_tags":
         "Executor host overhead (20 blocks, no tags)",
     "executor_host_overhead_tags_in_flight":
