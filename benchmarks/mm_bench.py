@@ -108,12 +108,30 @@ def main():
             return jax.lax.fori_loop(0, m, body, jnp.float32(0))
         return lambda _x, m: g(xf, m)
 
+    def make_chunked(_, ck=16):
+        st = loops.mm_windowed_init_state(float(sps), 0.5)
+        st = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (C,) + a.shape), st)
+
+        @jax.jit
+        def g(x, m):
+            def body(i, s):
+                ys, _ = jax.vmap(lambda xs, stt: loops.
+                                 clock_recovery_mm_ff_chunked(
+                                     xs + s * 1e-20, stt, sps, go, gm,
+                                     W=W, chunk=ck))(x, st)
+                return jnp.sum(ys)
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+        return g
+
     per_w = bench(make_windowed, ms=(1, 9))
     win_msps = C * T / per_w / 1e6
     per_l = bench(make_loop)
     loop_msps = C * T / per_l / 1e6
     per_f = bench(make_windowed_frac, ms=(1, 9))
     frac_msps = C * (T - T % 10) / per_f / 1e6
+    per_c = bench(make_chunked, ms=(1, 9))
+    ck_msps = C * T / per_c / 1e6
 
     print(json.dumps({
         "metric": "mm_clock_recovery_windowed",
@@ -132,6 +150,15 @@ def main():
         "value": round(frac_msps, 1),
         "unit": "Msymbols/s",
         "streams": C, "sps": 5.3,
+    }))
+    print(json.dumps({
+        "metric": "mm_clock_recovery_chunked",
+        "value": round(ck_msps, 1),
+        "unit": "Msymbols/s",
+        "streams": C, "sps": sps,
+        "notes": ("chunk-batched fixed point (16 symbols/step, 2 sweeps;"
+                  " loops.clock_recovery_mm_ff_chunked) — decision parity"
+                  " with the windowed scan is test-enforced"),
     }))
 
 

@@ -48,6 +48,8 @@ LABELS = {
         "M&M clock recovery, fractional sps (windowed)",
     "mm_clock_recovery_loop":
         "M&M clock recovery, 256 streams (scalar loop form)",
+    "mm_clock_recovery_chunked":
+        "M&M clock recovery, 256 streams (chunk-batched fixed point)",
     "pfb_arb_resampler_64ch_rate_3_2":
         "PFB arb resampler 64-ch, rate 3/2",
     "pfb_arb_resampler_64ch_rate_160_147":

@@ -420,6 +420,67 @@ class TestGenericModem:
         assert ber < 0.02, ber
 
 
+class TestChunkedClockRecovery:
+    """Chunk-batched M&M (loops.clock_recovery_mm_ff_chunked, the
+    round-5 fixed-point formulation — ~2.5-3.6x the windowed scan in
+    vmapped banks): symbol decisions must match the windowed loop on a
+    clean stream and stay at parity under noise."""
+
+    def test_chunked_matches_windowed(self):
+        from grtpu.digital import loops
+
+        rng = np.random.RandomState(0)
+        sps, gm = 4, 0.175
+        go = 0.25 * gm * gm
+        nsym = 6000
+        syms = rng.choice([-1.0, 1.0], nsym)
+        x = np.repeat(syms, sps).astype(np.float32)[3:]
+        W = 32
+        L = sps + 2 * W + loops.NTAPS
+        xp = np.concatenate([np.zeros(W, np.float32), x,
+                             np.zeros(L + sps, np.float32)])
+        st = loops.mm_windowed_init_state(float(sps), 0.5)
+        y_ref = np.asarray(loops.clock_recovery_mm_ff_windowed(
+            jnp.asarray(xp), st, sps, go, gm, W=W)[0])
+        y_ck = np.asarray(loops.clock_recovery_mm_ff_chunked(
+            jnp.asarray(xp), st, sps, go, gm, W=W, chunk=16)[0])
+        n = min(len(y_ref), len(y_ck)) - 8
+        best = 0.0
+        for lag in range(-3, 4):
+            a = np.sign(y_ref[300:n])
+            b = np.sign(y_ck[300 + lag: 300 + lag + len(a)])
+            if len(b) == len(a):
+                best = max(best, float((a == b).mean()))
+        assert best > 0.999, best
+
+    def test_chunked_noise_parity(self):
+        from grtpu.digital import loops
+
+        rng = np.random.RandomState(0)
+        sps, gm = 4, 0.175
+        go = 0.25 * gm * gm
+        nsym = 6000
+        syms = rng.choice([-1.0, 1.0], nsym)
+        x = np.repeat(syms, sps).astype(np.float32)[3:]
+        x = (x + 0.15 * np.random.RandomState(7).randn(len(x))).astype(
+            np.float32)
+        W = 32
+        L = sps + 2 * W + loops.NTAPS
+        xp = np.concatenate([np.zeros(W, np.float32), x,
+                             np.zeros(L + sps, np.float32)])
+        st = loops.mm_windowed_init_state(float(sps), 0.5)
+        y_ck = np.asarray(loops.clock_recovery_mm_ff_chunked(
+            jnp.asarray(xp), st, sps, go, gm, W=W, chunk=16)[0])
+        n = len(y_ck) - 8
+        best = 0.0
+        for lag in range(-3, 4):
+            a = syms[300: n - 100]
+            b = np.sign(y_ck[300 + lag: 300 + lag + len(a)])
+            if len(b) == len(a):
+                best = max(best, float((a == b).mean()))
+        assert best > 0.995, best
+
+
 class TestWindowedClockRecovery:
     """The gather-free fixed-rate M&M must be bit-exact vs the
     mask-and-compact loop while the drift stays inside +-W."""
