@@ -48,7 +48,11 @@ class GmskModem:
 
     def __init__(self, samples_per_symbol: int = 2, bt: float = 0.35,
                  gain_mu: float = 0.175, mu: float = 0.5,
-                 omega_relative_limit: float = 0.005):
+                 omega_relative_limit: float = 0.005,
+                 chunked: bool = False):
+        # chunked=True: chunk-batched M&M (clock_recovery_mm_ff_chunked,
+        # ~2.5x in vmapped banks; decision-parity tested)
+        self.chunked = bool(chunked)
         sps = samples_per_symbol
         self.sps = sps
         self.bt = bt
@@ -96,9 +100,11 @@ class GmskModem:
         t_eff = max((n - loops.NTAPS) // self.sps, 1)
         xw = jnp.concatenate([jnp.zeros(W, fm.dtype), fm,
                               jnp.zeros(L, fm.dtype)])
-        ys, _ = loops.clock_recovery_mm_ff_windowed(
-            xw, mm_state, self.sps, self.gain_omega, self.gain_mu,
-            self.omega_limit, W=W)
+        mm_fn = (loops.clock_recovery_mm_ff_chunked if self.chunked
+                 else loops.clock_recovery_mm_ff_windowed)
+        ys, _ = mm_fn(xw, mm_state, self.sps, self.gain_omega,
+                      self.gain_mu, self.omega_limit, W=W)
+        t_eff = min(t_eff, int(ys.shape[0])) if self.chunked else t_eff
         return ys[:t_eff], jnp.asarray(t_eff, jnp.int32)
 
     def demodulate(self, x) -> np.ndarray:
@@ -115,7 +121,9 @@ class PskModem:
 
     def __init__(self, m: int = 2, samples_per_symbol: int = 4,
                  excess_bw: float = 0.35, costas_bw: float = 0.062,
-                 gain_mu: float = 0.175, differential: bool = True):
+                 gain_mu: float = 0.175, differential: bool = True,
+                 chunked: bool = False):
+        self.chunked = bool(chunked)
         self.m = m
         self.k = int(np.log2(m))
         self.sps = samples_per_symbol
@@ -185,9 +193,17 @@ class PskModem:
         t_eff = max((n - loops.NTAPS) // self.sps, 1)
         xw = jnp.concatenate([jnp.zeros(W, derot.dtype), derot,
                               jnp.zeros(L, derot.dtype)])
-        ys, _ = loops.clock_recovery_mm_cc_windowed(
-            xw, mm_state, self.sps, self.gain_omega, self.gain_mu,
-            0.005, W=W)
+        if self.chunked:
+            # complex path: RRC ISI + costas interplay needs the tighter
+            # chunk (prediction drift must stay under half a symbol)
+            ys, _ = loops.clock_recovery_mm_cc_chunked(
+                xw, mm_state, self.sps, self.gain_omega, self.gain_mu,
+                0.005, W=W, chunk=8)
+        else:
+            ys, _ = loops.clock_recovery_mm_cc_windowed(
+                xw, mm_state, self.sps, self.gain_omega, self.gain_mu,
+                0.005, W=W)
+        t_eff = min(t_eff, int(ys.shape[0])) if self.chunked else t_eff
         return ys[:t_eff], jnp.asarray(t_eff, jnp.int32)
 
     def demodulate(self, x) -> np.ndarray:
@@ -221,7 +237,8 @@ class Fsk4Modem:
 
     def __init__(self, samples_per_symbol: int = 10,
                  symbol_rate: float = 4800.0, deviation: float = 1944.0,
-                 gain_mu: float = 0.05):
+                 gain_mu: float = 0.05, chunked: bool = False):
+        self.chunked = bool(chunked)
         self.sps = samples_per_symbol
         self.fs = samples_per_symbol * symbol_rate
         self.deviation = deviation
@@ -264,9 +281,11 @@ class Fsk4Modem:
         t_eff = max((n - loops.NTAPS) // self.sps, 1)
         xw = jnp.concatenate([jnp.zeros(W, mf.dtype), mf,
                               jnp.zeros(L, mf.dtype)])
-        ys, _ = loops.clock_recovery_mm_ff_windowed(
-            xw, mm_state, self.sps, self.gain_omega, self.gain_mu,
-            0.005, W=W)
+        mm_fn = (loops.clock_recovery_mm_ff_chunked if self.chunked
+                 else loops.clock_recovery_mm_ff_windowed)
+        ys, _ = mm_fn(xw, mm_state, self.sps, self.gain_omega,
+                      self.gain_mu, 0.005, W=W)
+        t_eff = min(t_eff, int(ys.shape[0])) if self.chunked else t_eff
         return ys[:t_eff], jnp.asarray(t_eff, jnp.int32)
 
     def demodulate(self, x) -> np.ndarray:

@@ -149,6 +149,29 @@ class TestGmsk:
         assert ber < 0.02, ber
 
 
+class TestChunkedModems:
+    """Modems with chunked=True route timing recovery through the
+    chunk-batched M&M (clock_recovery_mm_{ff,cc}_chunked); BER must
+    match the windowed-scan modems."""
+
+    def test_gmsk_chunked(self):
+        modem = GmskModem(samples_per_symbol=4, chunked=True)
+        bits = RNG.randint(0, 2, 3000).astype(np.uint8)
+        tx = modem.modulate(bits)
+        ber, _ = _best_ber(bits, modem.demodulate(tx))
+        assert ber < 0.002, ber
+        ber_n, _ = _best_ber(bits, modem.demodulate(awgn(tx, 12.0,
+                                                         seed=3)))
+        assert ber_n < 0.02, ber_n
+
+    def test_dqpsk_chunked(self):
+        modem = PskModem(m=4, samples_per_symbol=4, chunked=True)
+        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        tx = modem.modulate(bits)
+        ber, _ = _best_ber(bits, modem.demodulate(tx), settle=300)
+        assert ber < 0.02, ber
+
+
 class TestDbpsk:
     def test_loopback_clean(self):
         modem = PskModem(m=2, samples_per_symbol=4)
