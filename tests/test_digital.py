@@ -155,8 +155,9 @@ class TestChunkedModems:
     match the windowed-scan modems."""
 
     def test_gmsk_chunked(self):
+        rng = np.random.RandomState(77)   # local: don't shift the shared
         modem = GmskModem(samples_per_symbol=4, chunked=True)
-        bits = RNG.randint(0, 2, 3000).astype(np.uint8)
+        bits = rng.randint(0, 2, 3000).astype(np.uint8)
         tx = modem.modulate(bits)
         ber, _ = _best_ber(bits, modem.demodulate(tx))
         assert ber < 0.002, ber
@@ -165,8 +166,9 @@ class TestChunkedModems:
         assert ber_n < 0.02, ber_n
 
     def test_dqpsk_chunked(self):
+        rng = np.random.RandomState(78)
         modem = PskModem(m=4, samples_per_symbol=4, chunked=True)
-        bits = RNG.randint(0, 2, 4000).astype(np.uint8)
+        bits = rng.randint(0, 2, 4000).astype(np.uint8)
         tx = modem.modulate(bits)
         ber, _ = _best_ber(bits, modem.demodulate(tx), settle=300)
         assert ber < 0.02, ber
